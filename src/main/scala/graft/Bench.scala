@@ -1,24 +1,121 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.Synth
+import graft.spark.Pipeline
+
+/** Benchmark harness.
+  *
+  * Headline metric (BASELINE.md): documents/sec end-to-end extraction
+  * throughput — synth-span input parquet -> checker join -> needs-update
+  * filter -> salted repartition -> mapPartitions extraction -> parquet sink.
+  *
+  * Scaling gate: the same job at local[8] and local[32] over the SAME input
+  * (the sandbox proxy for N vs 4N executors); efficiency = (r32/r8)/4.
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (query-timing session),
+  * SPARK_GRAFT_BENCH_REPL (input amplification, default 10),
+  * SPARK_GRAFT_SCALING=0 to skip the two-level scaling runs.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Amplified deterministic input: each documents row replicated `repl`
+    * times with distinct ids; ~1/997 docs are mega-docs (text x100) to
+    * exercise the skew path.
+    */
+  private def writeInput(spark: SparkSession, sfDir: String, repl: Int, path: String): Long = {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val amplified = base.crossJoin(
+        spark.range(repl.toLong).select(col("id").as("replica")))
+      .select((col("doc_id") + col("replica") * 1000000L).as("doc_id"),
+        col("text"), col("source"))
+    val docs = amplified.as[(Long, String, String)].map { case (id, text, source) =>
+      val t = if (id % 997 == 0) (text + " ") * 100 else text
+      Synth.checkerDoc(id, t, source)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    docs.toDF().write.mode(SaveMode.Overwrite).parquet(s"$path/input")
+    val prev = amplified.select(col("doc_id")).as[Long]
+      .flatMap(id => Synth.prevState(id)).toDF()
+    prev.write.mode(SaveMode.Overwrite).parquet(s"$path/prev")
+    spark.read.parquet(s"$path/input").count()
+  }
+
+  /** One timed end-to-end run; returns (docsWritten, seconds). */
+  private def runPipeline(spark: SparkSession, path: String, outPath: String,
+      parts: Int): (Long, Double) = {
+    val input = spark.read.parquet(s"$path/input")
+    val prev = spark.read.parquet(s"$path/prev")
+    val t0 = System.nanoTime()
+    Pipeline.run(spark, input, prev, None,
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "bench", parts)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    val sec = (System.nanoTime() - t0) / 1e9
+    (spark.read.parquet(outPath).count(), sec)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "10").toInt
+    val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
+    val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
+
+    // ---- input materialization (untimed; identical for all runs)
+    var spark = session(cpus)
+    val nInput = writeInput(spark, sfDir, repl, work)
+
+    // ---- scaling runs: same job, two parallelism levels
+    var scalingJson = "null"
+    var r32 = 0.0
+    if (doScaling) {
+      spark.stop()
+      spark = session(8)
+      val (n8, t8) = runPipeline(spark, work, s"$work/out8", 8)
+      spark.stop()
+      spark = session(32)
+      val (n32, t32) = runPipeline(spark, work, s"$work/out32", 32)
+      val rate8 = n8 / t8
+      val rate32 = n32 / t32
+      r32 = rate32
+      val eff = (rate32 / rate8) / 4.0
+      scalingJson =
+        f"""{"cores8":{"docs":$n8,"sec":$t8%.2f,"docs_per_sec":$rate8%.1f},""" +
+          f""""cores32":{"docs":$n32,"sec":$t32%.2f,"docs_per_sec":$rate32%.1f},""" +
+          f""""efficiency":$eff%.3f}"""
+      if (cpus != 32) { spark.stop(); spark = session(cpus) }
+    } else {
+      val (n, t) = runPipeline(spark, work, s"$work/out", cpus)
+      r32 = n / t
+    }
+
+    // ---- per-query timings at the env-cpus session
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      name -> ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val qs = results.map { case (k, (sec, _)) => f""""$k":$sec%.3f""" }.mkString("{", ",", "}")
+    val totalSec = results.map(_._2._1).sum
+
+    println(
+      f"""{"metric":"docs_per_sec_end_to_end","value":$r32%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","input_docs":$nInput,"total_query_sec":$totalSec%.1f,"scaling":$scalingJson}""")
     spark.stop()
   }
 }

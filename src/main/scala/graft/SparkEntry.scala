@@ -1,13 +1,397 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.ExtractedDoc
+import graft.gen.{SpanGen, Synth}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.spark.{Checker, CheckedDoc, Pipeline}
+
+/** Driver contract: every operator of SURVEY.md §2 surfaces here as a named
+  * query, with an ANSI-SQL DuckDB oracle over the same parquet tables
+  * wherever the semantics are SQL-expressible. The synthetic span corpus is
+  * a closed-form function of `documents` rows (gen.Synth), so the oracles
+  * state the EXPECTED extraction output directly — the whole
+  * parse -> clean -> extract path must reproduce them.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  val IndexDate: java.sql.Timestamp = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Extraction of the well-formed corpus restricted to formats (pushed to
+    * the parquet scan via the doc_id % 10 predicate before synthesis).
+    */
+  private def extractFmt(s: SparkSession, dir: String, codes: Seq[Int]): Dataset[ExtractedDoc] = {
+    import s.implicits._
+    val docs = SpanGen.documents(s, dir)
+      .filter(r => codes.contains((r.doc_id % 10).toInt))
+      .map(r => Synth.doc(r.doc_id, r.text, r.source))
+    val checked = docs.toDF()
+      .withColumn("update_reason", lit("NOT_EXTRACTED_BEFORE"))
+      .withColumn("route", when(col("format") === "pdf", "PDF").otherwise("Standard"))
+      .as[CheckedDoc]
+    Pipeline.extractStage(checked, IndexDate, "verify")
+  }
+
+  private def spansOf(ds: Dataset[ExtractedDoc]): DataFrame =
+    ds.toDF().select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("s.offset").as("span_offset"), col("s.kind").as("kind"),
+        col("s.text").as("text"), col("s.media_ref").as("media_ref"))
+
+  /** duplicate-detection universe: docs id<200 plus near-identical mutations
+    * (last word dropped) at id+1000000.
+    */
+  private def dedupUniverse(s: SparkSession, dir: String): DataFrame = {
+    val base = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 200).select("doc_id", "text")
+    val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val mutated = base
+      .withColumn("text", concat_ws(" ", slice(words, lit(1), size(words) - 1)))
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    base.unionAll(mutated)
+  }
+
+  // ------------------------------------------------------------ entry point
+
+  /** Flagship: the full pipeline (checker join -> needs-update filter ->
+    * FORCE_TO_SEND recovery -> salted extraction) on the checker corpus.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val input = SpanGen.checkerDocs(spark, dir).toDF()
+    val prev = SpanGen.prevState(spark, dir)
+    Pipeline.run(spark, input, prev, prevExtracted = None,
+      IndexDate, runId = "entry", numPartitions = 8).toDF()
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- extraction per format (E1-E11) ---
+    "q01_extract_txt" -> ((s, dir) =>
+      extractFmt(s, dir, Seq(0, 1, 2)).toDF().select("doc_id", "fulltext")),
+
+    "q02_extract_xml" -> ((s, dir) =>
+      extractFmt(s, dir, Seq(3, 4)).toDF().select("doc_id", "fulltext", "acknowledgements")),
+
+    "q03_extract_xml_lists" -> ((s, dir) =>
+      extractFmt(s, dir, Seq(3, 4)).toDF()
+        .select(col("doc_id"), col("dataset")(0).as("dataset_ref"), col("facility")(0).as("facility_ref"))),
+
+    "q04_extract_elsevier" -> ((s, dir) =>
+      extractFmt(s, dir, Seq(5)).toDF().select("doc_id", "fulltext", "acknowledgements")),
+
+    "q05_extract_tei" -> ((s, dir) =>
+      extractFmt(s, dir, Seq(6)).toDF().select("doc_id", "fulltext", "acknowledgements")),
+
+    "q06_extract_html" -> ((s, dir) =>
+      extractFmt(s, dir, Seq(7)).toDF().select("doc_id", "fulltext")),
+
+    "q07_extract_pdf" -> ((s, dir) =>
+      extractFmt(s, dir, Seq(8, 9)).toDF().select("doc_id", "fulltext")),
+
+    // --- interleaved span model (the graft invariant) ---
+    "q08_spans_xml" -> ((s, dir) => spansOf(extractFmt(s, dir, Seq(3, 4)))),
+
+    "q09_spans_pdf" -> ((s, dir) => spansOf(extractFmt(s, dir, Seq(8, 9)))),
+
+    // --- multi-file concatenation (S4/A2) ---
+    "q10_multipart_txt" -> ((s, dir) => {
+      import s.implicits._
+      val docs = SpanGen.multipartTxtDocs(s, dir)
+      val checked = docs.toDF()
+        .withColumn("update_reason", lit("NOT_EXTRACTED_BEFORE"))
+        .withColumn("route", lit("Standard")).as[CheckedDoc]
+      Pipeline.extractStage(checked, IndexDate, "verify").toDF().select("doc_id", "fulltext")
+    }),
+
+    // --- checker (C1-C9 / A1) ---
+    "q11_checker_reasons" -> ((s, dir) =>
+      Checker.classify(SpanGen.checkerDocs(s, dir).toDF(), SpanGen.prevState(s, dir))
+        .select("doc_id", "update_reason", "route")),
+
+    "q12_checker_counts" -> ((s, dir) =>
+      Checker.filterNeedsUpdate(
+        Checker.classify(SpanGen.checkerDocs(s, dir).toDF(), SpanGen.prevState(s, dir)))
+        .groupBy("update_reason", "route").agg(count(lit(1)).as("n"))),
+
+    // --- checkpoint/resume (S6/Q2) ---
+    "q13_resume" -> ((s, dir) => {
+      val input = SpanGen.docs(s, dir).toDF()
+      val committed = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 3 === 0)
+        .select(format_string("D%09d", col("doc_id")).as("doc_id"))
+      Pipeline.resume(input, committed).select("doc_id")
+    }),
+
+    // --- dedup family ---
+    "q14_dedup_exact" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val uni = base.unionAll(base.withColumn("doc_id", col("doc_id") + 10000000L))
+      Dedup.exact(uni)
+    }),
+
+    "q15_dedup_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(dedupUniverse(s, dir)).select("doc_a", "doc_b")),
+
+    "q16_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(dedupUniverse(s, dir)).select("doc_a", "doc_b")),
+
+    "q17_simhash" -> ((s, dir) =>
+      Dedup.simhash(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+        .select("doc_id", "simhash")),
+
+    // --- similarity search ---
+    "q18_knn_cosine" -> ((s, dir) =>
+      Similarity.bruteKnn(s.read.parquet(s"$dir/embeddings.parquet"), 0L until 20L, 3)),
+
+    // --- text analysis ---
+    "q19_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet"))
+        .select("doc_id", "lang_pred")),
+
+    "q20_quality" -> ((s, dir) =>
+      TextAnalysis.quality(s.read.parquet(s"$dir/documents.parquet"))
+        .select("doc_id", "n_tokens", "n_chars_obs", "long_tokens", "stop_hits", "quality_bucket")),
+
+    "q21_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(s.read.parquet(s"$dir/documents.parquet"))
+        .select("doc_id", "ws_tokens", "bpe_tokens")),
+
+    "q22_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(s.read.parquet(s"$dir/documents.parquet"))
+        .select("doc_id", "fingerprint")),
+
+    // --- counter metrics / summary (A5) ---
+    "q23_format_media_stats" -> ((s, dir) => {
+      val ex = extractFmt(s, dir, 0 to 9)
+      ex.toDF().groupBy("format")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(filter(col("spans"), x => x.getField("kind") === "media"))).as("n_media"))
+    }),
+
+    // --- rows-only checks (non-SQL-expressible; gated by ScalaTest instead) ---
+    "q30_pipeline_full" -> ((s, dir) => {
+      val input = SpanGen.checkerDocs(s, dir).toDF()
+      val prev = SpanGen.prevState(s, dir)
+      Pipeline.run(s, input, prev, None, IndexDate, "q30", numPartitions = 8).toDF()
+        .select("doc_id", "update_reason", "fulltext", "error")
+    }),
+
+    "q31_ann_lsh" -> ((s, dir) =>
+      Similarity.lshAnn(s.read.parquet(s"$dir/embeddings.parquet"), 0L until 20L, 3)),
+
+    "q32_multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.mediaTable(extractFmt(s, dir, Seq(3, 4, 7, 8, 9)).toDF())
+      Multimodal.extractFeatures(media).toDF()
+        .select("doc_id", "media_ref", "width", "height", "n_bytes")
+    }),
+
+    "q33_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"), tau = 0.99))
+  )
+
+  // ----------------------------------------------------------------- oracles
+
+  /** cleaned text: whitespace-collapse + drop >=100-char tokens (the E8
+    * kernel restricted to the ASCII synthetic corpus, where NFKC/translate
+    * are identities).
+    */
+  private val C =
+    """array_to_string(list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0 AND len(w) < 100), ' ')"""
+  private val K = "printf('D%09d', doc_id)"
+  private val W0 = "split_part(text, ' ', 1)"
+  private val WORDS = """list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0)"""
+
+  private def xmlFulltext =
+    s"'I. INTRODUCTION ' || $C || ' Manual Entry 1 TABLE ' || $K || '. CAP ' || $K || ' NOTES ' || $K || chr(10) || 'APPENDIX ' || $K || ' APP ' || $W0"
+
+  private val checkerCase =
+    """CASE
+      WHEN doc_id % 23 = 0 THEN 'IGNORE_NON_EXISTENT_FT_SOURCE'
+      WHEN doc_id % 17 = 0 THEN 'IGNORE_ZERO_BYTE_FT_SOURCE'
+      WHEN doc_id % 13 = 0 THEN 'FORCE_TO_EXTRACT'
+      WHEN doc_id % 13 = 1 THEN 'FORCE_TO_SEND'
+      WHEN doc_id % 7 = 0 THEN 'NOT_EXTRACTED_BEFORE'
+      WHEN doc_id % 7 = 5 THEN 'STALE_META'
+      WHEN doc_id % 7 = 6 THEN 'MISSING_FULL_TEXT'
+      WHEN doc_id % 7 = 2 THEN 'DIFFERING_FULL_TEXT'
+      WHEN doc_id % 7 = 3 THEN 'STALE_CONTENT'
+      WHEN doc_id % 7 = 4 THEN 'STALE_CONTENT'
+      ELSE NULL END"""
+
+  private val routeCase = "CASE WHEN doc_id % 10 IN (8, 9) THEN 'PDF' ELSE 'Standard' END"
+
+  private val dedupUniverseSql =
+    s"""(SELECT doc_id, text FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(w[1:len(w)-1], ' ') AS text
+        FROM (SELECT doc_id, $WORDS AS w FROM documents WHERE doc_id < 200))"""
+
+  private val jaccardPairsSql =
+    s"""WITH uni AS $dedupUniverseSql,
+      toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0) AS w FROM uni),
+      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.85"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_extract_txt" ->
+      s"SELECT $K AS doc_id, $C AS fulltext FROM documents WHERE doc_id % 10 < 3",
+
+    "q02_extract_xml" ->
+      s"""SELECT $K AS doc_id, $xmlFulltext AS fulltext,
+          'Acknowledgments THANKS TO ' || source || '. FacName' AS acknowledgements
+          FROM documents WHERE doc_id % 10 IN (3, 4)""",
+
+    "q03_extract_xml_lists" ->
+      s"""SELECT $K AS doc_id, 'DS/' || $K || '/a' AS dataset_ref,
+          'FAC' || (doc_id % 5) AS facility_ref
+          FROM documents WHERE doc_id % 10 IN (3, 4)""",
+
+    "q04_extract_elsevier" ->
+      s"""SELECT $K AS doc_id,
+          '1 Introduction ' || $C || ' Acknowledgments THANK YOU ' || source || ' Appendix A APP ' || $W0 AS fulltext,
+          'Acknowledgments THANK YOU ' || source AS acknowledgements
+          FROM documents WHERE doc_id % 10 = 5""",
+
+    "q05_extract_tei" ->
+      s"""SELECT $K AS doc_id, 'Intro ' || $C || ' ACK ' || source AS fulltext,
+          'ACK ' || source AS acknowledgements
+          FROM documents WHERE doc_id % 10 = 6""",
+
+    "q06_extract_html" ->
+      s"""SELECT $K AS doc_id,
+          'TITLE ' || $K || ' PRE ' || $K || ' JOURNAL ' || $C || ' Table ' || $K || ': ONLY IN TABLE ' || $K || ' CELL ' || $K || ' COPYRIGHT ' || $K AS fulltext
+          FROM documents WHERE doc_id % 10 = 7""",
+
+    "q07_extract_pdf" ->
+      s"SELECT $K AS doc_id, $C AS fulltext FROM documents WHERE doc_id % 10 IN (8, 9)",
+
+    "q08_spans_xml" ->
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id % 10 IN (3, 4))
+          SELECT $K AS doc_id, 0 AS span_offset, 'text' AS kind,
+                 'I. INTRODUCTION ' || $C || ' Manual Entry 1 TABLE ' || $K || '. CAP ' || $K AS text,
+                 NULL AS media_ref FROM d
+          UNION ALL SELECT $K, 1, 'media', NULL, 'fig' || $K || 'a.gif' FROM d
+          UNION ALL SELECT $K, 2, 'media', NULL, 'fig' || $K || 'b.gif' FROM d
+          UNION ALL SELECT $K, 3, 'text', 'NOTES ' || $K, NULL FROM d
+          UNION ALL SELECT $K, 4, 'text', 'APPENDIX ' || $K || ' APP ' || $W0, NULL FROM d""",
+
+    "q09_spans_pdf" ->
+      s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents WHERE doc_id % 10 IN (8, 9)),
+          k AS (SELECT doc_id, w, (len(w) + 1) // 2 AS h FROM d)
+          SELECT $K AS doc_id, 0 AS span_offset, 'text' AS kind,
+                 array_to_string(w[1:h], ' ') AS text, NULL AS media_ref FROM k
+          UNION ALL SELECT $K, 1, 'media', NULL, 'pimg' || $K || '.png' FROM k
+          UNION ALL SELECT $K, 2, 'text', array_to_string(w[h+1:len(w)], ' '), NULL
+          FROM k WHERE len(w) > h""",
+
+    "q10_multipart_txt" ->
+      s"SELECT $K AS doc_id, $C AS fulltext FROM documents WHERE doc_id % 10 < 2",
+
+    "q11_checker_reasons" ->
+      s"""SELECT $K AS doc_id, $checkerCase AS update_reason, $routeCase AS route
+          FROM documents""",
+
+    "q12_checker_counts" ->
+      s"""SELECT update_reason, route, count(*) AS n FROM (
+            SELECT $checkerCase AS update_reason, $routeCase AS route FROM documents) t
+          WHERE update_reason IN ('MISSING_FULL_TEXT','DIFFERING_FULL_TEXT','STALE_CONTENT',
+            'STALE_META','NOT_EXTRACTED_BEFORE','FORCE_TO_EXTRACT','FORCE_TO_SEND')
+          GROUP BY 1, 2""",
+
+    "q13_resume" ->
+      s"SELECT $K AS doc_id FROM documents WHERE doc_id % 3 <> 0",
+
+    "q14_dedup_exact" ->
+      """WITH uni AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000000, text FROM documents)
+         SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS canonical_id
+         FROM uni GROUP BY 1""",
+
+    "q15_dedup_jaccard" -> jaccardPairsSql,
+
+    "q16_dedup_minhash_lsh" -> jaccardPairsSql,
+
+    "q17_simhash" -> simhashSql,
+
+    "q18_knn_cosine" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 20),
+         s AS (SELECT qid, e.vec_id AS nid, list_cosine_similarity(qe, e.embedding::DOUBLE[]) AS sim
+               FROM q, embeddings e WHERE e.vec_id <> qid)
+         SELECT qid AS vec_id, r AS rank, nid AS neighbor_id
+         FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS r FROM s) t
+         WHERE r <= 3""",
+
+    "q19_lang_id" -> langIdSql,
+
+    "q20_quality" ->
+      s"""SELECT doc_id, len($WORDS) AS n_tokens, len(text) AS n_chars_obs,
+          len(list_filter($WORDS, w -> len(w) >= 15)) AS long_tokens,
+          len(list_filter($WORDS, w -> list_contains(['the','of','and','to','a','in','is','that','it','for'], w))) AS stop_hits,
+          CASE WHEN len($WORDS) < 16 THEN 'short'
+               WHEN len(list_filter($WORDS, w -> list_contains(['the','of','and','to','a','in','is','that','it','for'], w))) * 10 >= len($WORDS) THEN 'fluent'
+               ELSE 'list-like' END AS quality_bucket
+          FROM documents""",
+
+    "q21_token_counts" ->
+      s"""SELECT doc_id, len($WORDS) AS ws_tokens,
+          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+          FROM documents""",
+
+    "q22_fingerprint" ->
+      s"""SELECT doc_id,
+          CASE WHEN len($WORDS) >= 5
+            THEN list_aggregate(list_transform(generate_series(1, len($WORDS) - 4),
+                   i -> md5(array_to_string(list_slice($WORDS, i, i + 4), ' '))), 'min')
+            ELSE md5(text) END AS fingerprint
+          FROM documents""",
+
+    "q23_format_media_stats" ->
+      """SELECT CASE WHEN doc_id % 10 IN (0,1) THEN 'txt' WHEN doc_id % 10 = 2 THEN 'ocr'
+                     WHEN doc_id % 10 IN (3,4,5) THEN 'xml' WHEN doc_id % 10 = 6 THEN 'teixml'
+                     WHEN doc_id % 10 = 7 THEN 'html' ELSE 'pdf' END AS format,
+                count(*) AS n_docs,
+                sum(CASE WHEN doc_id % 10 IN (3,4) THEN 2 WHEN doc_id % 10 IN (7,8,9) THEN 1 ELSE 0 END)::BIGINT AS n_media
+         FROM documents GROUP BY 1"""
+  )
+
+  /** lang-id oracle: argmax over the same stopword gazetteers, declaration-
+    * order tie-break.
+    */
+  private def langIdSql: String = {
+    val hits = TextAnalysis.stopwords.map { case (lang, list) =>
+      val arr = list.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter($WORDS, w -> list_contains($arr, w))) AS hits_$lang"
+    }.mkString(", ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val maxExpr = langs.map(l => s"hits_$l").reduce((a, b) => s"greatest($a, $b)")
+    val caseExpr = langs.map(l => s"WHEN hits_$l = m AND m > 0 THEN '$l'").mkString(" ")
+    s"""SELECT doc_id, CASE $caseExpr ELSE 'und' END AS lang_pred
+        FROM (SELECT doc_id, $maxExpr AS m, * EXCLUDE (doc_id)
+              FROM (SELECT doc_id, $hits FROM documents) z) y"""
+  }
+
+  /** simhash oracle: identical md5-derived 60-bit word hashes, bit votes. */
+  private def simhashSql: String = {
+    val h = "('0x' || substr(md5(w), 1, 15))::BIGINT"
+    val bitSums = (0 until 60).map(j =>
+      s"CASE WHEN sum(CASE WHEN ($h >> $j) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN (1::BIGINT << $j) ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id, ($bitSums) AS simhash
+        FROM (SELECT doc_id, unnest($WORDS) AS w FROM documents) t
+        GROUP BY doc_id"""
+  }
 }

