@@ -24,20 +24,21 @@ object SparkEntry {
   /** Extraction of the well-formed corpus restricted to formats (pushed to
     * the parquet scan via the doc_id % 10 predicate before synthesis).
     */
-  private def extractFmt(s: SparkSession, dir: String, codes: Seq[Int]): Dataset[ExtractedDoc] = {
+  private def extractFmt(s: SparkSession, dir: String, codes: Seq[Int]): DataFrame = {
     import s.implicits._
+    // column-expression filter BEFORE the typed map so it reaches the
+    // parquet scan as a pushed predicate (a lambda filter would not)
     val docs = SpanGen.documents(s, dir)
-      .filter(r => codes.contains((r.doc_id % 10).toInt))
+      .where(pmod(col("doc_id"), lit(10)).isin(codes: _*))
       .map(r => Synth.doc(r.doc_id, r.text, r.source))
     val checked = docs.toDF()
       .withColumn("update_reason", lit("NOT_EXTRACTED_BEFORE"))
       .withColumn("route", when(col("format") === "pdf", "PDF").otherwise("Standard"))
-      .as[CheckedDoc]
-    Pipeline.extractStage(checked, IndexDate, "verify")
+    Pipeline.extractStageNative(checked, IndexDate, "verify")
   }
 
-  private def spansOf(ds: Dataset[ExtractedDoc]): DataFrame =
-    ds.toDF().select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "s")))
+  private def spansOf(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "s")))
       .select(col("doc_id"), col("s.offset").as("span_offset"), col("s.kind").as("kind"),
         col("s.text").as("text"), col("s.media_ref").as("media_ref"))
 
@@ -72,26 +73,26 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- extraction per format (E1-E11) ---
     "q01_extract_txt" -> ((s, dir) =>
-      extractFmt(s, dir, Seq(0, 1, 2)).toDF().select("doc_id", "fulltext")),
+      extractFmt(s, dir, Seq(0, 1, 2)).select("doc_id", "fulltext")),
 
     "q02_extract_xml" -> ((s, dir) =>
-      extractFmt(s, dir, Seq(3, 4)).toDF().select("doc_id", "fulltext", "acknowledgements")),
+      extractFmt(s, dir, Seq(3, 4)).select("doc_id", "fulltext", "acknowledgements")),
 
     "q03_extract_xml_lists" -> ((s, dir) =>
       extractFmt(s, dir, Seq(3, 4)).toDF()
         .select(col("doc_id"), col("dataset")(0).as("dataset_ref"), col("facility")(0).as("facility_ref"))),
 
     "q04_extract_elsevier" -> ((s, dir) =>
-      extractFmt(s, dir, Seq(5)).toDF().select("doc_id", "fulltext", "acknowledgements")),
+      extractFmt(s, dir, Seq(5)).select("doc_id", "fulltext", "acknowledgements")),
 
     "q05_extract_tei" -> ((s, dir) =>
-      extractFmt(s, dir, Seq(6)).toDF().select("doc_id", "fulltext", "acknowledgements")),
+      extractFmt(s, dir, Seq(6)).select("doc_id", "fulltext", "acknowledgements")),
 
     "q06_extract_html" -> ((s, dir) =>
-      extractFmt(s, dir, Seq(7)).toDF().select("doc_id", "fulltext")),
+      extractFmt(s, dir, Seq(7)).select("doc_id", "fulltext")),
 
     "q07_extract_pdf" -> ((s, dir) =>
-      extractFmt(s, dir, Seq(8, 9)).toDF().select("doc_id", "fulltext")),
+      extractFmt(s, dir, Seq(8, 9)).select("doc_id", "fulltext")),
 
     // --- interleaved span model (the graft invariant) ---
     "q08_spans_xml" -> ((s, dir) => spansOf(extractFmt(s, dir, Seq(3, 4)))),
@@ -104,8 +105,8 @@ object SparkEntry {
       val docs = SpanGen.multipartTxtDocs(s, dir)
       val checked = docs.toDF()
         .withColumn("update_reason", lit("NOT_EXTRACTED_BEFORE"))
-        .withColumn("route", lit("Standard")).as[CheckedDoc]
-      Pipeline.extractStage(checked, IndexDate, "verify").toDF().select("doc_id", "fulltext")
+        .withColumn("route", lit("Standard"))
+      Pipeline.extractStageNative(checked, IndexDate, "verify").select("doc_id", "fulltext")
     }),
 
     // --- checker (C1-C9 / A1) ---
@@ -165,10 +166,15 @@ object SparkEntry {
       TextAnalysis.fingerprint(s.read.parquet(s"$dir/documents.parquet"))
         .select("doc_id", "fingerprint")),
 
+    // --- facility NER side stage (E13) ---
+    "q24_facility_ner" -> ((s, dir) =>
+      graft.ops.FacilityNer.identify(extractFmt(s, dir, Seq(3, 4)))
+        .select(col("doc_id"), explode(col("facilities")).as("facility_ner"))),
+
     // --- counter metrics / summary (A5) ---
     "q23_format_media_stats" -> ((s, dir) => {
       val ex = extractFmt(s, dir, 0 to 9)
-      ex.toDF().groupBy("format")
+      ex.groupBy("format")
         .agg(count(lit(1)).as("n_docs"),
           sum(size(filter(col("spans"), x => x.getField("kind") === "media"))).as("n_media"))
     }),
@@ -185,7 +191,7 @@ object SparkEntry {
       Similarity.lshAnn(s.read.parquet(s"$dir/embeddings.parquet"), 0L until 20L, 3)),
 
     "q32_multimodal_features" -> ((s, dir) => {
-      val media = Multimodal.mediaTable(extractFmt(s, dir, Seq(3, 4, 7, 8, 9)).toDF())
+      val media = Multimodal.mediaTable(extractFmt(s, dir, Seq(3, 4, 7, 8, 9)))
       Multimodal.extractFeatures(media).toDF()
         .select("doc_id", "media_ref", "width", "height", "n_bytes")
     }),
@@ -252,7 +258,7 @@ object SparkEntry {
 
     "q02_extract_xml" ->
       s"""SELECT $K AS doc_id, $xmlFulltext AS fulltext,
-          'Acknowledgments THANKS TO ' || source || '. FacName' AS acknowledgements
+          'Acknowledgments THANKS TO ' || source || '. FAC' || (doc_id % 5) AS acknowledgements
           FROM documents WHERE doc_id % 10 IN (3, 4)""",
 
     "q03_extract_xml_lists" ->
@@ -358,6 +364,10 @@ object SparkEntry {
                    i -> md5(array_to_string(list_slice($WORDS, i, i + 4), ' '))), 'min')
             ELSE md5(text) END AS fingerprint
           FROM documents""",
+
+    "q24_facility_ner" ->
+      s"""SELECT $K AS doc_id, 'FAC' || (doc_id % 5) AS facility_ner
+          FROM documents WHERE doc_id % 10 IN (3, 4)""",
 
     "q23_format_media_stats" ->
       """SELECT CASE WHEN doc_id % 10 IN (0,1) THEN 'txt' WHEN doc_id % 10 = 2 THEN 'ocr'

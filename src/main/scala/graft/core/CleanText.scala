@@ -55,6 +55,11 @@ object CleanText {
   def translate(s: String): String = {
     if (s == null) return null
     val n = s.length
+    // fast path: nothing to change (the common case for clean prose) —
+    // avoids an allocation per call in the per-document hot loop
+    var scan = 0
+    while (scan < n && bmpTable(s.charAt(scan).toInt) == KEEP) scan += 1
+    if (scan == n) return s
     val sb = new java.lang.StringBuilder(n)
     var i = 0
     while (i < n) {
@@ -83,9 +88,17 @@ object CleanText {
     dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
   }
 
-  /** NFKC normalisation (reference `normalise`). */
-  def normalise(s: String): String =
-    if (s == null) null else Normalizer.normalize(s, Normalizer.Form.NFKC)
+  /** NFKC normalisation (reference `normalise`). NFKC is the identity on
+    * pure-ASCII text; the scan is far cheaper than Normalizer's allocations,
+    * and most real prose is ASCII-dominated.
+    */
+  def normalise(s: String): String = {
+    if (s == null) return null
+    var i = 0
+    val n = s.length
+    while (i < n && s.charAt(i) < 0x80) i += 1
+    if (i == n) s else Normalizer.normalize(s, Normalizer.Form.NFKC)
+  }
 
   /** Python-compatible whitespace predicate for `str.split()` semantics:
     * Java isWhitespace plus the Unicode Zs spaces Python treats as whitespace
@@ -104,6 +117,26 @@ object CleanText {
   def trimwords(s: String, maxLength: Int = 100): String = {
     if (s == null) return null
     val n = s.length
+    // fast path: already single-space-separated short tokens, no lead/trail ws
+    var scan = 0
+    var tokLen = 0
+    var prevSpace = true
+    var clean = n > 0
+    while (clean && scan < n) {
+      val c = s.charAt(scan)
+      if (c == ' ') {
+        if (prevSpace) clean = false // leading or double space
+        prevSpace = true
+        tokLen = 0
+      } else if (isPyWhitespace(c)) clean = false
+      else {
+        prevSpace = false
+        tokLen += 1
+        if (tokLen >= maxLength) clean = false
+      }
+      scan += 1
+    }
+    if (clean && !prevSpace) return s
     val sb = new java.lang.StringBuilder(n)
     var i = 0
     var first = true

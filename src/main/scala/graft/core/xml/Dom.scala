@@ -11,7 +11,7 @@ import scala.collection.mutable.ArrayBuffer
   * Spark unit of parallelism), so no streaming needed inside a row.
   */
 final class Elem(var tag: String) {
-  var attrs: ArrayBuffer[(String, String)] = ArrayBuffer.empty
+  var attrs: Vector[(String, String)] = Vector.empty
   val children: ArrayBuffer[Elem] = ArrayBuffer.empty
   var text: String = null
   var tail: String = null
@@ -145,9 +145,14 @@ object Dom {
             while ((stack.head ne root) && (stack.head.tag == "td" || stack.head.tag == "th")) stack = stack.tail
         }
         val e = new Elem(name)
-        attrs0.foreach { case (k0, v) =>
-          val k = norm(k0)
-          if (!e.attrs.exists(_._1 == k)) e.attrs += (k -> v) // first wins
+        if (attrs0.nonEmpty) {
+          val b = Vector.newBuilder[(String, String)]
+          var seen = List.empty[String]
+          attrs0.foreach { case (k0, v) =>
+            val k = norm(k0)
+            if (!seen.contains(k)) { seen = k :: seen; b += (k -> v) } // first wins
+          }
+          e.attrs = b.result()
         }
         stack.head.append(e)
         val isVoid = htmlMode && voidTags.contains(name)

@@ -83,7 +83,7 @@ object Synth {
 </body> endbody -->
 <back>
 <ack><title>Acknowledgments</title><p>THANKS TO $source.</p>
-<named-content content-type="facility" xlink:href="FAC${id % 5}">FacName</named-content></ack>
+<named-content content-type="facility" xlink:href="FAC${id % 5}">FAC${id % 5}</named-content></ack>
 <app-group><app><title>APPENDIX $k</title><p>APP $w0</p></app></app-group>
 <ref-list><ref>REFERENCE NOT EXTRACTED</ref></ref-list>
 </back></article>"""

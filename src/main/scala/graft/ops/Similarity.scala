@@ -36,7 +36,8 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val typed = emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Seq[Float])]
-    val queries = typed.filter(t => queryIds.contains(t._1)).collect()
+    // column-expression predicate -> pushed to the parquet scan
+    val queries = typed.where(col("vec_id").isin(queryIds: _*)).collect()
     val qB = spark.sparkContext.broadcast(queries)
 
     // per-partition bounded top-k per query
@@ -97,7 +98,8 @@ object Similarity {
 
     val typed = emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Seq[Float])]
     val sigs = typed.map { case (id, v) => (id, sigOf(v), v) }.toDF("vec_id", "sig", "embedding")
-    val queries = sigs.as[(Long, Int, Seq[Float])].filter(t => queryIds.contains(t._1)).collect()
+    val queries = sigs.where(col("vec_id").isin(queryIds: _*))
+      .as[(Long, Int, Seq[Float])].collect()
     val qB = spark.sparkContext.broadcast(queries)
 
     sigs.as[(Long, Int, Seq[Float])].mapPartitions { it =>

@@ -18,6 +18,14 @@ object Checker {
     "MISSING_FULL_TEXT", "DIFFERING_FULL_TEXT", "STALE_CONTENT", "STALE_META",
     "NOT_EXTRACTED_BEFORE", "FORCE_TO_EXTRACT", "FORCE_TO_SEND")
 
+  /** file_format derivation: lowercased extension of the source path, or
+    * `http` for URLs (checker.py:260-263). Used when the input table does
+    * not carry an explicit format column.
+    */
+  def deriveFormat(sourcePath: Column): Column =
+    when(sourcePath.contains("http://") || sourcePath.contains("https://"), "http")
+      .otherwise(lower(regexp_extract(sourcePath, "\\.([^./]+)$", 1)))
+
   /** total raw text bytes carried by a doc (zero-byte guard + skew cost). */
   def spanCost(spans: Column): Column =
     coalesce(aggregate(spans, lit(0L), (acc, s) =>

@@ -20,10 +20,17 @@ object StreamingPipeline {
   def run(spark: SparkSession, inputDir: String, outDir: String,
       checkpointDir: String, prevState: DataFrame,
       indexDate: java.sql.Timestamp, numPartitions: Int = 32,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
 
     val schema = spark.read.parquet(inputDir).schema
-    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    val reader = spark.readStream.schema(schema)
+    // backpressure: the reference producer stops enqueueing past
+    // max_queue_size (run.py:107-109); the streaming analog bounds batch size
+    val stream = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n))
+      .getOrElse(reader)
+      .parquet(inputDir)
 
     stream.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -94,6 +94,19 @@ class PipelineSpec extends AnyFunSuite {
   }
   private val budgetBytesForAll = Long.MaxValue
 
+  test("native Catalyst extract expression == typed mapPartitions stage") {
+    import spark.implicits._
+    val docs = SpanGen.docs(spark, dir).toDF()
+      .withColumn("update_reason", lit("NOT_EXTRACTED_BEFORE"))
+      .withColumn("route", lit("Standard"))
+    val typed = Pipeline.extractStage(docs.as[CheckedDoc], ts, "x").toDF()
+      .select("doc_id", "spans", "fulltext", "acknowledgements", "dataset", "facility", "error")
+    val native = Pipeline.extractStageNative(docs, ts, "x")
+      .select("doc_id", "spans", "fulltext", "acknowledgements", "dataset", "facility", "error")
+    assert(native.exceptAll(typed).count() == 0)
+    assert(typed.exceptAll(native).count() == 0)
+  }
+
   test("resume: partial output + anti-join rerun = full output, no duplicates") {
     val input = SpanGen.docs(spark, dir).toDF().limit(100).cache()
     val prev = SpanGen.prevState(spark, dir)
@@ -135,6 +148,25 @@ class PipelineSpec extends AnyFunSuite {
       .toDF().select("doc_id", "fulltext")
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
+  }
+}
+
+class CheckerSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("format derivation from source path (checker.py:260-263)") {
+    import spark.implicits._
+    val df = Seq("/a/b/x.PDF", "/a/b/y.tar.xml", "http://host/doc", "/a/noext")
+      .toDF("source_path")
+      .select(Checker.deriveFormat(col("source_path")).as("f"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("pdf", "xml", "http", ""))
+  }
+
+  test("facility NER: gazetteer matches deduped across fulltext+ack (ner.py:19-38)") {
+    import spark.implicits._
+    val df = Seq(("d1", "saw FAC3 and FAC12 here", "thanks FAC3")).toDF("doc_id", "fulltext", "acknowledgements")
+    val out = graft.ops.FacilityNer.identify(df).collect().head
+    assert(out.getSeq[String](1) == Seq("FAC12", "FAC3"))
   }
 }
 
