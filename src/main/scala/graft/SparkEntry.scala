@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.ExtractedDoc
 import graft.gen.{SpanGen, Synth}
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.spark.{Checker, CheckedDoc, Pipeline}
+import graft.spark.{Checker, CheckedDoc, Pipeline, TextFunctions}
 
 /** Driver contract: every operator of SURVEY.md §2 surfaces here as a named
   * query, with an ANSI-SQL DuckDB oracle over the same parquet tables
@@ -165,6 +165,19 @@ object SparkEntry {
     "q22_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(s.read.parquet(s"$dir/documents.parquet"))
         .select("doc_id", "fingerprint")),
+
+    // --- scalar kernels as native SQL functions (E8/E9, §2.7) ---
+    "q25_clean_text" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextFunctions.cleanText(
+          concat(lit("A\u0001B\u00a0"), col("text"), lit(" "), lit("x" * 150)))
+          .as("cleaned"))),
+
+    "q26_convert_entities" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextFunctions.convertEntities(
+          concat(lit("&amp;A &lt;b&gt; &#65; &bogus; &Omega; "), col("text")))
+          .as("converted"))),
 
     // --- facility NER side stage (E13) ---
     "q24_facility_ner" -> ((s, dir) =>
@@ -364,6 +377,12 @@ object SparkEntry {
                    i -> md5(array_to_string(list_slice($WORDS, i, i + 4), ' '))), 'min')
             ELSE md5(text) END AS fingerprint
           FROM documents""",
+
+    "q25_clean_text" ->
+      s"SELECT doc_id, 'AB ' || $C AS cleaned FROM documents",
+
+    "q26_convert_entities" ->
+      "SELECT doc_id, '&A <b>   ' || chr(937) || ' ' || text AS converted FROM documents",
 
     "q24_facility_ner" ->
       s"""SELECT $K AS doc_id, 'FAC' || (doc_id % 5) AS facility_ner

@@ -1,0 +1,84 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The text-cleaning kernel (reference TextCleaner, adsft/utils.py:129-284)
+  * and entity conversion (adsft/entitydefs.py:1903-1928) as NATIVE Catalyst
+  * expressions: `doGenCode` emits a static call on the codegen hot path, so
+  * both stay inside WholeStageCodegen spans (no UDF object churn, no
+  * CodegenFallback virtual dispatch) — these are the two scalar kernels a
+  * user would call over trillions of rows outside the extraction pipeline
+  * proper (SURVEY.md §2.7: "as SQL: clean_text(col, ...)").
+  */
+object TextFunctions {
+
+  /** static shims for generated code (UTF8String in/out, null-safe wrapper
+    * is provided by nullSafeCodeGen)
+    */
+  def cleanText(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.core.CleanText.run(s.toString))
+
+  def convertEntities(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.core.Entities.convert(s.toString))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "clean_text", exprs => CleanTextExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "convert_entities", exprs => ConvertEntitiesExpr(exprs.head), "scala_udf")
+    ExtractDocExpr.register(spark)
+  }
+
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+  def cleanText(c: Column): Column = column(CleanTextExpr(expression(c)))
+  def convertEntities(c: Column): Column = column(ConvertEntitiesExpr(expression(c)))
+}
+
+/** clean_text(s): translate ∘ NFKC ∘ trimwords (adsft/utils.py:263-284). */
+case class CleanTextExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    TextFunctions.cleanText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextFunctions.cleanText($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** convert_entities(s): `&name;`/`&#n;`/`&#xh;` → table lookup, unknown →
+  * removed (reference semantics, adsft/entitydefs.py:1917-1928).
+  */
+case class ConvertEntitiesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    TextFunctions.convertEntities(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextFunctions.convertEntities($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Session-extension entry point: `--conf spark.sql.extensions=
+  * graft.spark.GraftExtensions` makes every graft SQL function available in
+  * every session of a cluster without driver-side registration calls.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((FunctionIdentifier("clean_text"),
+      new ExpressionInfo(classOf[CleanTextExpr].getName, "clean_text"),
+      (exprs: Seq[Expression]) => CleanTextExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("convert_entities"),
+      new ExpressionInfo(classOf[ConvertEntitiesExpr].getName, "convert_entities"),
+      (exprs: Seq[Expression]) => ConvertEntitiesExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_extract"),
+      new ExpressionInfo(classOf[ExtractDocExpr].getName, "graft_extract"),
+      (exprs: Seq[Expression]) => ExtractDocExpr(exprs)))
+  }
+}

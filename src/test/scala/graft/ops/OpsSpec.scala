@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.SparkTestSession
+
+/** Training-data-pipeline operators: pure-kernel properties plus small
+  * end-to-end checks (the sf-scale behavior is gated by the DuckDB oracle
+  * queries q14-q22/q31-q33; these tests pin the semantics the oracles
+  * can't see — error channels, recall of LSH vs exact, stub decode shape).
+  */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("jaccard: identical=1, disjoint=0, known overlap") {
+    assert(Dedup.jaccard("a b c d", "a b c d") == 1.0)
+    assert(Dedup.jaccard("a b c d e", "v w x y z") == 0.0)
+    // shingles(3) of "a b c d": {abc, bcd}; of "a b c e": {abc, bce} -> 1/3
+    assert(math.abs(Dedup.jaccard("a b c d", "a b c e") - 1.0 / 3) < 1e-12)
+    assert(Dedup.jaccard("a b", "a b") == 1.0) // sub-shingle-length: both empty
+  }
+
+  test("minhashLsh finds the planted near-dup pair and nothing else") {
+    import spark.implicits._
+    val base = (0 until 30).map(i =>
+      (i.toLong, (0 until 40).map(j => s"w${i}_$j").mkString(" ")))
+    // planted near-dup of doc 0: drop the last word
+    val nearDup = (1000L, base.head._2.split(" ").dropRight(1).mkString(" "))
+    val docs = (base :+ nearDup).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs).as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1000L)))
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    import spark.implicits._
+    val t1 = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val t2 = t1.split(" ").dropRight(2).mkString(" ")
+    val t3 = (0 until 60).map(i => s"other$i").mkString(" ")
+    val out = Dedup.simhash(Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "text"))
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(out(1L), out(2L)) < ham(out(1L), out(3L)))
+    assert(ham(out(1L), out(2L)) <= 12)
+  }
+
+  test("cosine kernel and brute-force knn ranking") {
+    assert(math.abs(Similarity.cosine(Seq(1f, 0f), Seq(1f, 0f)) - 1.0) < 1e-6)
+    assert(math.abs(Similarity.cosine(Seq(1f, 0f), Seq(0f, 1f))) < 1e-6)
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f)),
+      (2L, Seq(0f, 1f, 0f)), (3L, Seq(-1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val knn = Similarity.bruteKnn(emb, Seq(0L), 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(knn.toSeq == Seq(1L, 2L))
+  }
+
+  test("multimodal: decode errors become rows, not task failures") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaIn("d1", "ok.gif", Multimodal.synthBytes("ok.gif")),
+      Multimodal.MediaIn("d2", "bad.gif", Array[Byte](1, 2)) // truncated
+    ).toDS()
+    val out = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(out(0).decode_error == null && out(0).width >= 64 && out(0).feature.length == 8)
+    assert(out(1).decode_error != null && out(1).width == -1)
+  }
+
+  test("language id picks the planted gazetteer language") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it is warm"),
+      (2L, "el gato y la casa de los perros es grande"),
+      (3L, "zzz qqq xxx")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(docs).select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(2L) == "es" && out(3L) == "und")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The E8/E9 scalar kernels as native Catalyst expressions: results must
+  * match the pure-core functions exactly (same kernel), stay null-safe, and
+  * run on the codegen path (defineCodeGen — no CodegenFallback).
+  */
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("clean_text column + SQL function match graft.core.CleanText.run") {
+    import spark.implicits._
+    TextFunctions.register(spark)
+    val dirty = Seq(
+      "plain ascii text",
+      "A\u0001B\u00a0C",                       // control delete + nbsp->space
+      "keep " + ("x" * 99) + " drop " + ("y" * 100),
+      "  collapse   \t runs \n here  ",
+      "ﬁnal ligature"                     // NFKC: fi ligature -> fi
+    )
+    val df = dirty.toDF("t")
+    val viaColumn = df.select(TextFunctions.cleanText(col("t"))).as[String].collect()
+    val viaSql = df.selectExpr("clean_text(t)").as[String].collect()
+    val expected = dirty.map(graft.core.CleanText.run(_))
+    assert(viaColumn.toSeq == expected)
+    assert(viaSql.toSeq == expected)
+  }
+
+  test("convert_entities: named -> char, numeric/unknown -> removed") {
+    import spark.implicits._
+    TextFunctions.register(spark)
+    val got = Seq("&amp;A &lt;b&gt; &#65; &bogus; &Omega; end")
+      .toDF("t").selectExpr("convert_entities(t)").as[String].head()
+    assert(got == "&A <b>   Ω end")
+  }
+
+  test("null-safe and codegen (no fallback) in the physical plan") {
+    import spark.implicits._
+    // spark.range source so the projection is a real codegen stage (a local
+    // Seq would constant-fold into a LocalTableScan)
+    val df = spark.range(4)
+      .select(TextFunctions.cleanText(
+        when(col("id") % 2 === 0, concat(lit("v  "), col("id"))).otherwise(lit(null))).as("c"))
+    assert(df.as[Option[String]].collect().toSet ==
+      Set(Some("v 0"), Some("v 2"), None))
+    // the expression must sit inside a WholeStageCodegen span: the simple
+    // plan string marks codegen stages with a `*(stageId)` prefix
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [cleantextexpr"), plan)
+  }
+}
