@@ -10,7 +10,13 @@ import graft.spark.{CheckedDoc, Checker, Pipeline}
   */
 object Probe {
   private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder().master(s"local[$cores]")
+    val b0 = SparkSession.builder()
+    val b1 = if (sys.env.get("SPARK_GRAFT_EVENTLOG").contains("1")) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/tmp/spark-events"))
+      b0.config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", "/tmp/spark-events")
+    } else b0
+    val s = b1.master(s"local[$cores]")
       .appName(s"probe-$cores")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
@@ -50,7 +56,9 @@ object Probe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    Seq(8, 32, 32).foreach { cores =>   // 32 twice: second run JIT-warm
+    val seq = args.lift(1).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(32, 8, 32, 8, 32))
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    seq.foreach { cores =>
       val s = session(cores)
       import s.implicits._
       val input = s.read.parquet(s"$work/input")
@@ -60,11 +68,13 @@ object Probe {
       val tCheck = time(Checker.filterNeedsUpdate(Checker.classify(input, prev)).count())
       val checked = Checker.filterNeedsUpdate(Checker.classify(input, prev))
       val tShuffle = time(checked.repartition(cores, col("doc_id")).count())
-      val salted = Pipeline.saltByCost(checked, cores, 4L << 20).as[CheckedDoc]
-      val tExtract = time(Pipeline.extractStage(salted, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "probe").count())
-      val tWrite = time(Pipeline.extractStage(salted, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "probe")
+      val salted = Pipeline.saltHeavyOnly(checked, cores, 4L << 20)
+      val tExtract = time(Pipeline.extractStageNative(salted, ts, "probe")
+        .select(count(col("error"))).collect())
+      val tTyped = time(Pipeline.extractStage(salted.as[CheckedDoc], ts, "probe").count())
+      val tWrite = time(Pipeline.extractStageNative(salted, ts, "probe")
         .write.mode(SaveMode.Overwrite).parquet(s"$work/out$cores"))
-      println(f"PROBE cores=$cores%2d read=$tRead%6.2f check=$tCheck%6.2f shuffle=$tShuffle%6.2f extract=$tExtract%6.2f extract+write=$tWrite%6.2f")
+      println(f"PROBE cores=$cores%2d read=$tRead%6.2f check=$tCheck%6.2f shuffle=$tShuffle%6.2f native_extract=$tExtract%6.2f typed_extract=$tTyped%6.2f native+write=$tWrite%6.2f")
       s.stop()
     }
   }

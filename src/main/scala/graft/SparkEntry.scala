@@ -149,6 +149,12 @@ object SparkEntry {
     "q18_knn_cosine" -> ((s, dir) =>
       Similarity.bruteKnn(s.read.parquet(s"$dir/embeddings.parquet"), 0L until 20L, 3)),
 
+    // IVF at nProbe == nCentroids is exact -> shares the brute-force oracle;
+    // the partial-probe approximation is recall-tested in OpsSpec
+    "q34_ivf_ann" -> ((s, dir) =>
+      Similarity.ivfAnn(s.read.parquet(s"$dir/embeddings.parquet"), 0L until 20L, 3,
+        nCentroids = 16, nProbe = 16)),
+
     // --- text analysis ---
     "q19_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet"))
@@ -243,6 +249,14 @@ object SparkEntry {
       ELSE NULL END"""
 
   private val routeCase = "CASE WHEN doc_id % 10 IN (8, 9) THEN 'PDF' ELSE 'Standard' END"
+
+  private val knnSql =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 20),
+       s AS (SELECT qid, e.vec_id AS nid, list_cosine_similarity(qe, e.embedding::DOUBLE[]) AS sim
+             FROM q, embeddings e WHERE e.vec_id <> qid)
+       SELECT qid AS vec_id, r AS rank, nid AS neighbor_id
+       FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS r FROM s) t
+       WHERE r <= 3"""
 
   private val dedupUniverseSql =
     s"""(SELECT doc_id, text FROM documents WHERE doc_id < 200
@@ -346,13 +360,9 @@ object SparkEntry {
 
     "q17_simhash" -> simhashSql,
 
-    "q18_knn_cosine" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 20),
-         s AS (SELECT qid, e.vec_id AS nid, list_cosine_similarity(qe, e.embedding::DOUBLE[]) AS sim
-               FROM q, embeddings e WHERE e.vec_id <> qid)
-         SELECT qid AS vec_id, r AS rank, nid AS neighbor_id
-         FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS r FROM s) t
-         WHERE r <= 3""",
+    "q34_ivf_ann" -> knnSql,
+
+    "q18_knn_cosine" -> knnSql,
 
     "q19_lang_id" -> langIdSql,
 

@@ -1,6 +1,6 @@
 package graft.core
 
-import java.util.regex.Pattern
+
 
 /** HTML/LaTeX entity conversion (reference: adsft/entitydefs.py:1903-1928).
   *
@@ -105,25 +105,53 @@ object Entities {
       .map { case (k, cp) => k -> new String(Character.toChars(cp)) }
       .toMap
 
-  private val entityRe =
-    Pattern.compile("&(#\\d+|#x[0-9a-fA-F]+|\\w+);")
+  @inline private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
 
-  /** Replace entities per the reference regex (entitydefs.py:1928):
-    * known named entity -> its character; anything else (numeric references,
-    * unknown names) -> removed.
+  @inline private def isHexDigit(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  /** Replace entities per the reference regex `&(#\d+|#x[0-9a-fA-F]+|\w+);`
+    * (entitydefs.py:1928): known named entity -> its character; anything else
+    * (numeric references, unknown names) -> removed. Hand-written scanner
+    * instead of java.util.regex — in a Spark JVM the regex engine's predicate
+    * lambdas go megamorphic and run ~10x slower (see XmlExtractor note); this
+    * runs on every raw document.
     */
   def convert(s: String): String = {
     if (s == null) return null
-    val m = entityRe.matcher(s)
-    if (!m.find()) return s
-    val sb = new java.lang.StringBuilder(s.length)
+    var i = s.indexOf('&')
+    if (i < 0) return s
+    val n = s.length
+    var sb: java.lang.StringBuilder = null
     var last = 0
-    do {
-      sb.append(s, last, m.start())
-      sb.append(table.getOrElse(m.group(1), ""))
-      last = m.end()
-    } while (m.find())
-    sb.append(s, last, s.length)
-    sb.toString
+    while (i >= 0) {
+      var j = i + 1
+      var rep: String = null
+      var end = -1
+      if (j < n && s.charAt(j) == '#') {
+        j += 1
+        val hex = j < n && s.charAt(j) == 'x'
+        if (hex) j += 1
+        val d0 = j
+        while (j < n && (if (hex) isHexDigit(s.charAt(j)) else s.charAt(j) >= '0' && s.charAt(j) <= '9')) j += 1
+        if (j > d0 && j < n && s.charAt(j) == ';') { end = j; rep = "" }
+      } else {
+        val d0 = j
+        while (j < n && isWordChar(s.charAt(j))) j += 1
+        if (j > d0 && j < n && s.charAt(j) == ';') {
+          end = j
+          rep = table.getOrElse(s.substring(d0, j), "")
+        }
+      }
+      if (end >= 0) {
+        if (sb == null) sb = new java.lang.StringBuilder(n)
+        sb.append(s, last, i).append(rep)
+        last = end + 1
+        i = s.indexOf('&', last)
+      } else i = s.indexOf('&', i + 1)
+    }
+    if (sb == null) s
+    else { sb.append(s, last, n); sb.toString }
   }
 }

@@ -1,6 +1,6 @@
 package graft.core
 
-import java.util.regex.Pattern
+
 import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
@@ -35,18 +35,72 @@ import graft.core.xml.{Dom, Elem, MiniPath}
 object XmlExtractor {
 
   // --- raw string pre-fixes (extraction.py:482-522) -------------------------
-  private val bodyCommentRe =
-    Pattern.compile("<!--\\s*body\\s*([\\s\\S]*)\\s*endbody\\s*-->")
-  private val commentRe = Pattern.compile("<!--[\\s\\S]*?-->")
-  private val cdataRe = Pattern.compile("<!\\[CDATA\\[[\\s\\S]*?\\]\\]>")
-  private val piRe = Pattern.compile("<\\?[\\s\\S]*?\\?>")
+  // Hand-written scanners rather than java.util.regex: inside a Spark JVM the
+  // hundreds of live Pattern instances make the regex engine's per-character
+  // CharPredicate lambda call sites megamorphic, which blocks inlining in the
+  // match loop and measured ~10x slower than in an isolated JVM. indexOf-
+  // driven linear scans are immune and exactly reproduce the reference
+  // regexes' semantics (see each function's note).
+
+  /** ASCII `\s` as java.util.regex defines it (no UNICODE_CHARACTER_CLASS). */
+  @inline private def isReWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000b' || c == '\f' || c == '\r'
+
+  /** `<!--\s*body\s*([\s\S]*)\s*endbody\s*-->` replaced by `$1` (the AGU /
+    * Wiley comment-wrapped body, issue 104): greedy group = from after the
+    * first `<!--\s*body\s*` to the LAST `endbody\s*-->`.
+    */
+  private[core] def unwrapBodyComment(s: String): String = {
+    var i = s.indexOf("<!--")
+    while (i >= 0) {
+      var j = i + 4
+      while (j < s.length && isReWs(s.charAt(j))) j += 1
+      if (s.regionMatches(j, "body", 0, 4)) {
+        var k = j + 4
+        while (k < s.length && isReWs(s.charAt(k))) k += 1
+        val contentStart = k
+        // last `endbody` whose trailing is `\s*-->`
+        var e = s.lastIndexOf("endbody")
+        while (e >= contentStart) {
+          var m = e + 7
+          while (m < s.length && isReWs(s.charAt(m))) m += 1
+          if (s.regionMatches(m, "-->", 0, 3))
+            return s.substring(0, i) + s.substring(contentStart, e) + s.substring(m + 3)
+          e = s.lastIndexOf("endbody", e - 1)
+        }
+      }
+      i = s.indexOf("<!--", i + 1)
+    }
+    s
+  }
+
+  /** non-greedy `open[\s\S]*?close` -> "" (unterminated opener kept, as the
+    * regex would leave it unmatched).
+    */
+  private def removeDelimited(s: String, open: String, close: String): String = {
+    var i = s.indexOf(open)
+    if (i < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var last = 0
+    while (i >= 0) {
+      val j = s.indexOf(close, i + open.length)
+      if (j < 0) i = -1
+      else {
+        sb.append(s, last, i)
+        last = j + close.length
+        i = s.indexOf(open, last)
+      }
+    }
+    sb.append(s, last, s.length)
+    sb.toString
+  }
 
   def removeSpecialElements(raw: String): String = {
     var s = raw
-    s = bodyCommentRe.matcher(s).replaceAll("$1")
-    s = commentRe.matcher(s).replaceAll("")
-    s = cdataRe.matcher(s).replaceAll("")
-    s = piRe.matcher(s).replaceAll("")
+    s = unwrapBodyComment(s)
+    s = removeDelimited(s, "<!--", "-->")
+    s = removeDelimited(s, "<![CDATA[", "]]>")
+    s = removeDelimited(s, "<?", "?>")
     s
   }
 

@@ -57,6 +57,26 @@ class OpsSpec extends AnyFunSuite {
     assert(knn.toSeq == Seq(1L, 2L))
   }
 
+  test("ivf ann: full probe is exact; partial probe keeps high recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val emb = (0L until 200L).map { id =>
+      val base = Array.fill(8)(rnd.nextGaussian().toFloat)
+      (id, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = 0L until 10L
+    val brute = Similarity.bruteKnn(emb, queries, 3)
+      .select("vec_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val full = Similarity.ivfAnn(emb, queries, 3, nCentroids = 8, nProbe = 8)
+      .select("vec_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(full == brute) // probing every cell == exact
+    val partial = Similarity.ivfAnn(emb, queries, 3, nCentroids = 8, nProbe = 4)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brutePairs = brute.map(t => (t._1, t._3))
+    val recall = brutePairs.count(partial.contains).toDouble / brutePairs.size
+    assert(recall >= 0.7, s"recall=$recall")
+  }
+
   test("multimodal: decode errors become rows, not task failures") {
     import spark.implicits._
     val media = Seq(
