@@ -23,20 +23,31 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// SPARK_DRIVER_MEM accepts "<int>g/G/m/M" (default unit: g); normalized to
+// MB so -Xmx/-Xms/-Xmn stay consistent and the young gen can never be 0
+val driverMemMb: Int = {
+  val raw = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g").trim
+  val m = "^(\\d+)\\s*([gGmM]?)$".r
+  raw match {
+    case m(n, u) if u.equalsIgnoreCase("m") => n.toInt
+    case m(n, _) => n.toInt * 1024
+    case _ => sys.error(s"SPARK_DRIVER_MEM must be like '24g' or '24576m', got '$raw'")
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${driverMemMb}m",
   // Throughput GC for the allocation-heavy extraction kernel: G1's default
   // adaptive heap (grow/shrink + uncommit) spent up to half of task time in
   // GC stalls and kernel-side heap commit churn at 32 threads; ParallelGC
   // with a fixed pre-touched heap and a large young gen measured 2.5-8x the
   // 32-thread kernel throughput and restores 8->32 scaling to the hardware
   // ceiling (CoreScaleProbe: 73k -> 583k docs/s at 32 threads).
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${driverMemMb}m",
   "-XX:+UseParallelGC",
-  // young gen = half the heap (parse garbage is short-lived)
-  s"-Xmn${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g").stripSuffix("g").toInt / 2}g",
+  // young gen = half the heap (parse garbage is short-lived), min 256 MB
+  s"-Xmn${math.max(256, driverMemMb / 2)}m",
   "-XX:+AlwaysPreTouch",
   // Spark's generated classes fill the default 240m code cache, after which
   // the JIT stops compiling and hot kernel code (regex lambdas) runs

@@ -55,6 +55,21 @@ object SparkEntry {
     base.unionAll(mutated)
   }
 
+  /** embedding near-dup universe: base vectors (vec_id < 200) plus planted
+    * near-duplicates at id+1000000 (first component +0.05, float arithmetic
+    * — bit-identical to the oracle's `(embedding[1] + 0.05::FLOAT)::FLOAT`).
+    */
+  private def embNearDupUniverse(s: SparkSession, dir: String): DataFrame = {
+    val base = s.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 200).select("vec_id", "embedding")
+    val mutated = base
+      .withColumn("embedding", concat(
+        array((col("embedding")(0) + lit(0.05f)).cast("float")),
+        slice(col("embedding"), lit(2), size(col("embedding")) - 1)))
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    base.unionAll(mutated)
+  }
+
   // ------------------------------------------------------------ entry point
 
   /** Flagship: the full pipeline (checker join -> needs-update filter ->
@@ -179,10 +194,14 @@ object SparkEntry {
           concat(lit("A\u0001B\u00a0"), col("text"), lit(" "), lit("x" * 150)))
           .as("cleaned"))),
 
+    // samples across the full 1881-entry table: HTML core (with the
+    // reference's no-amp/no-lt quirk), numeric/unknown removal, and the
+    // ISO/SGML tail (isogrk Omega, isoamsa angmsd, isocyr1 Pcy, and the
+    // combining-pair value of nsubseteqq)
     "q26_convert_entities" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), TextFunctions.convertEntities(
-          concat(lit("&amp;A &lt;b&gt; &#65; &bogus; &Omega; "), col("text")))
+          concat(lit("&amp;A &lt;b&gt; &#65; &bogus; &Omega; &angmsd; &Pcy; &nsubseteqq; "), col("text")))
           .as("converted"))),
 
     // --- facility NER side stage (E13) ---
@@ -196,6 +215,18 @@ object SparkEntry {
       ex.groupBy("format")
         .agg(count(lit(1)).as("n_docs"),
           sum(size(filter(col("spans"), x => x.getField("kind") === "media"))).as("n_media"))
+    }),
+
+    // --- sink-time counter metrics as data (A5: observe() rides the sink
+    //     action, no second pass; the returned table is the metrics table) ---
+    "q35_sink_metrics" -> ((s, dir) => {
+      val input = SpanGen.checkerDocs(s, dir).toDF()
+      val prev = SpanGen.prevState(s, dir)
+      val out = Pipeline.run(s, input, prev, None, IndexDate, "q35", numPartitions = 8).toDF()
+      val (observed, obs) = Pipeline.observeMetrics(out)
+      val sink = java.nio.file.Files.createTempDirectory("graft-q35").toString
+      observed.write.mode("overwrite").parquet(s"$sink/out")
+      Pipeline.metricsFrame(s, obs.get)
     }),
 
     // --- rows-only checks (non-SQL-expressible; gated by ScalaTest instead) ---
@@ -215,8 +246,13 @@ object SparkEntry {
         .select("doc_id", "media_ref", "width", "height", "n_bytes")
     }),
 
+    // planted universe: base vectors (cosine <= ~0.44 pairwise on the
+    // synthetic corpus) + per-base near-duplicates (first component +0.05 in
+    // FLOAT arithmetic, cosine ~0.9999), so tau=0.95 separates cleanly and
+    // the exact pairwise-cosine oracle pins both recall AND precision
     "q33_embedding_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"), tau = 0.99))
+      Dedup.embeddingNearDup(embNearDupUniverse(s, dir), tau = 0.95)
+        .select("id_a", "id_b"))
   )
 
   // ----------------------------------------------------------------- oracles
@@ -388,15 +424,52 @@ object SparkEntry {
             ELSE md5(text) END AS fingerprint
           FROM documents""",
 
+    // corpus assumption (deliberate): the synthetic `text` is pure ASCII with
+    // no control chars and no >=100-char tokens EXCEPT the ones the query
+    // plants, so translate/NFKC are identities on it and the oracle reduces
+    // to whitespace-collapse + trimwords; the planted prefix/suffix exercise
+    // the non-identity paths (control delete, nbsp->space, long-token drop)
     "q25_clean_text" ->
       s"SELECT doc_id, 'AB ' || $C AS cleaned FROM documents",
 
+    // oracle states the expected conversion directly (amp/lt deleted per the
+    // reference table, gt kept, numeric+unknown removed, exotic names from
+    // the ISO sets mapped); corpus assumption: `text` itself contains no
+    // `&...;` sequences (the synthetic corpus is entity-free by construction,
+    // so the appended literal is the only converted material)
     "q26_convert_entities" ->
-      "SELECT doc_id, '&A <b>   ' || chr(937) || ' ' || text AS converted FROM documents",
+      ("SELECT doc_id, 'A b>   ' || chr(937) || ' ' || chr(8737) || ' ' || chr(1055) || ' ' || " +
+        "chr(10949) || chr(824) || ' ' || text AS converted FROM documents"),
 
     "q24_facility_ner" ->
       s"""SELECT $K AS doc_id, 'FAC' || (doc_id % 5) AS facility_ner
           FROM documents WHERE doc_id % 10 IN (3, 4)""",
+
+    // exact pairwise cosine over the same planted universe (mutation in
+    // FLOAT arithmetic to match the Spark side bit-for-bit; comparison in
+    // DOUBLE like Similarity.cosine). Planted pairs sit at ~0.9999, all
+    // other pairs at <= ~0.44 — far from tau on both sides.
+    "q33_embedding_neardup" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+         mut AS (SELECT vec_id + 1000000 AS vec_id,
+                 list_concat([(embedding[1] + 0.05::FLOAT)::FLOAT], embedding[2:]) AS embedding FROM base),
+         uni AS (SELECT * FROM base UNION ALL SELECT * FROM mut)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95""",
+
+    // expected counters: per-format needs-update cardinality, zero errors on
+    // the well-formed corpus (error isolation is pinned by PipelineSpec)
+    "q35_sink_metrics" ->
+      s"""SELECT format, count(*) AS n_extracted, 0::BIGINT AS n_errored FROM (
+            SELECT CASE WHEN doc_id % 10 IN (0,1) THEN 'txt' WHEN doc_id % 10 = 2 THEN 'ocr'
+                        WHEN doc_id % 10 IN (3,4,5) THEN 'xml' WHEN doc_id % 10 = 6 THEN 'teixml'
+                        WHEN doc_id % 10 = 7 THEN 'html' ELSE 'pdf' END AS format,
+                   $checkerCase AS update_reason
+            FROM documents) t
+          WHERE update_reason IN ('MISSING_FULL_TEXT','DIFFERING_FULL_TEXT','STALE_CONTENT',
+            'STALE_META','NOT_EXTRACTED_BEFORE','FORCE_TO_EXTRACT','FORCE_TO_SEND')
+          GROUP BY 1""",
 
     "q23_format_media_stats" ->
       """SELECT CASE WHEN doc_id % 10 IN (0,1) THEN 'txt' WHEN doc_id % 10 = 2 THEN 'ocr'

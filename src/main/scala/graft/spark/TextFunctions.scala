@@ -1,6 +1,6 @@
 package graft.spark
 
-import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, GraftStringUnaryInput, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -25,12 +25,26 @@ object TextFunctions {
   def convertEntities(s: UTF8String): UTF8String =
     UTF8String.fromString(graft.core.Entities.convert(s.toString))
 
+  /** arity check in the builder: a wrong-arity SQL call gets a clean
+    * AnalysisException instead of a crash at exprs.head
+    */
+  private[spark] def unary(name: String, exprs: Seq[Expression])
+      (build: Expression => Expression): Expression = {
+    if (exprs.length != 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name, "expectedNum" -> "1",
+          "actualNum" -> exprs.length.toString, "docroot" -> ""))
+    build(exprs.head)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
-      "clean_text", exprs => CleanTextExpr(exprs.head), "scala_udf")
+      "clean_text", exprs => unary("clean_text", exprs)(CleanTextExpr), "scala_udf")
     reg.createOrReplaceTempFunction(
-      "convert_entities", exprs => ConvertEntitiesExpr(exprs.head), "scala_udf")
+      "convert_entities", exprs => unary("convert_entities", exprs)(ConvertEntitiesExpr), "scala_udf")
     ExtractDocExpr.register(spark)
   }
 
@@ -40,7 +54,7 @@ object TextFunctions {
 }
 
 /** clean_text(s): translate ∘ NFKC ∘ trimwords (adsft/utils.py:263-284). */
-case class CleanTextExpr(child: Expression) extends UnaryExpression {
+case class CleanTextExpr(child: Expression) extends UnaryExpression with GraftStringUnaryInput {
   override def dataType: DataType = StringType
   override protected def nullSafeEval(input: Any): Any =
     TextFunctions.cleanText(input.asInstanceOf[UTF8String])
@@ -53,7 +67,7 @@ case class CleanTextExpr(child: Expression) extends UnaryExpression {
 /** convert_entities(s): `&name;`/`&#n;`/`&#xh;` → table lookup, unknown →
   * removed (reference semantics, adsft/entitydefs.py:1917-1928).
   */
-case class ConvertEntitiesExpr(child: Expression) extends UnaryExpression {
+case class ConvertEntitiesExpr(child: Expression) extends UnaryExpression with GraftStringUnaryInput {
   override def dataType: DataType = StringType
   override protected def nullSafeEval(input: Any): Any =
     TextFunctions.convertEntities(input.asInstanceOf[UTF8String])

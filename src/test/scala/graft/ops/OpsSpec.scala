@@ -77,6 +77,48 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall=$recall")
   }
 
+  test("embeddingNearDup: recall == exact pairwise cosine on planted universe") {
+    import spark.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 100).select("vec_id", "embedding")
+    val mutated = base
+      .withColumn("embedding", concat(
+        array((col("embedding")(0) + lit(0.05f)).cast("float")),
+        slice(col("embedding"), lit(2), size(col("embedding")) - 1)))
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val uni = base.unionAll(mutated)
+    // exact pairwise cosine, driver-side (universe is 200 vectors)
+    val vecs = uni.as[(Long, Seq[Float])].collect()
+    val exact = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      (a, va) = vecs(i); (b, vb) = vecs(j)
+      if Similarity.cosine(va, vb) >= 0.95
+    } yield (math.min(a, b), math.max(a, b))).toSet
+    val lsh = Dedup.embeddingNearDup(uni, tau = 0.95)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.size == 100) // every planted pair, nothing else
+    assert(lsh == exact, s"missing=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
+  }
+
+  test("embeddingNearDup: hot buckets are capped, pair generation never quadratic") {
+    import spark.implicits._
+    // 100 identical vectors -> one hot bucket per table; uncapped this is
+    // C(100,2)=4950 pairs, the cap must bound it to C(maxBucket,2)
+    val same = (0L until 100L).map(id => (id, Seq(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(same, tau = 0.5, maxBucket = 8).count()
+    assert(pairs == 28, s"expected C(8,2)=28 capped pairs, got $pairs")
+  }
+
+  test("ngramJaccardPairs leaves no cached RDDs behind") {
+    import spark.implicits._
+    val docs = (0 until 20).map(i =>
+      (i.toLong, (0 until 30).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet // other suites may cache
+    Dedup.ngramJaccardPairs(docs).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
+
   test("multimodal: decode errors become rows, not task failures") {
     import spark.implicits._
     val media = Seq(

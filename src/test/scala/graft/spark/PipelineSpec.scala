@@ -100,11 +100,25 @@ class PipelineSpec extends AnyFunSuite {
       .withColumn("update_reason", lit("NOT_EXTRACTED_BEFORE"))
       .withColumn("route", lit("Standard"))
     val typed = Pipeline.extractStage(docs.as[CheckedDoc], ts, "x").toDF()
-      .select("doc_id", "spans", "fulltext", "acknowledgements", "dataset", "facility", "error")
+      .select("doc_id", "spans", "fulltext", "acknowledgements", "dataset", "facility", "error", "lineage")
     val native = Pipeline.extractStageNative(docs, ts, "x")
-      .select("doc_id", "spans", "fulltext", "acknowledgements", "dataset", "facility", "error")
+      .select("doc_id", "spans", "fulltext", "acknowledgements", "dataset", "facility", "error", "lineage")
     assert(native.exceptAll(typed).count() == 0)
     assert(typed.exceptAll(native).count() == 0)
+  }
+
+  test("lineage is deterministic across runs and partitionings") {
+    import spark.implicits._
+    val docs = SpanGen.docs(spark, dir).toDF()
+      .withColumn("update_reason", lit("NOT_EXTRACTED_BEFORE"))
+      .withColumn("route", lit("Standard"))
+    def lineages(parts: Int) =
+      Pipeline.extractStageNative(docs.repartition(parts, col("doc_id")), ts, "L")
+        .select("doc_id", "lineage").as[(String, String)].collect().toSet
+    val a = lineages(2)
+    val b = lineages(7) // different physical layout, same logical rows
+    assert(a == b)
+    assert(a.forall { case (id, lin) => lin == s"L/$id" })
   }
 
   test("resume: partial output + anti-join rerun = full output, no duplicates") {
@@ -133,6 +147,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.length == 1)
     assert(out.head.getAs[String]("fulltext") == "RECOVERED BODY")
     assert(out.head.getAs[String]("lineage").contains("recovered"))
+  }
+
+  test("sink-time metrics: per-format counters ride the sink action, errors isolated (A5)") {
+    import spark.implicits._
+    val good = SpanGen.docs(spark, dir).toDF().limit(20)
+    // one rejected-format doc -> C8 error side-channel, counted under `other`
+    val bad = Seq(("DBAD", "weird", "synthetic", "/x/y.weird",
+        Seq(Span("text", "payload", null, 0)), "", Synth.srcMtime(0)))
+      .toDF("doc_id", "format", "provider", "source_path", "spans", "update_flag", "src_mtime")
+    val docs = good.unionByName(bad, allowMissingColumns = true)
+      .withColumn("update_reason", lit("NOT_EXTRACTED_BEFORE"))
+      .withColumn("route", lit("Standard"))
+    val out = Pipeline.extractStageNative(docs, ts, "m")
+    val (observed, obs) = Pipeline.observeMetrics(out)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-metrics").toString
+    observed.write.mode("overwrite").parquet(tmp)
+    val metrics = Pipeline.metricsFrame(spark, obs.get)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(metrics("other") == ((0L, 1L))) // the bad doc errored, nothing else
+    assert(metrics.filter(_._1 != "other").values.map(_._2).sum == 0L)
+    assert(metrics.values.map(t => t._1 + t._2).sum == 21L)
+    // counters agree with the written output (same action, no second pass)
+    val written = spark.read.parquet(tmp)
+    assert(written.filter(col("error").isNotNull).count() == 1)
+    assert(written.count() == 21)
+  }
+
+  test("streaming backpressure: maxFilesPerTrigger=1 bounds each micro-batch (Q3)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bp").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cpDir = s"$tmp/cp"
+    val input = SpanGen.checkerDocs(spark, dir).toDF().limit(60)
+    // three separate input files -> three trigger units
+    input.repartition(3).write.parquet(inDir)
+    assert(new java.io.File(inDir).listFiles().count(_.getName.endsWith(".parquet")) >= 3)
+    val prev = SpanGen.prevState(spark, dir)
+    val q = StreamingPipeline.run(spark, inDir, outDir, cpDir, prev, ts,
+      numPartitions = 4, maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    // one file per trigger -> at least 3 committed micro-batches
+    val batches = new java.io.File(s"$cpDir/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+    // and the chunked result equals the batch run
+    val streamed = spark.read.parquet(outDir).select("doc_id", "fulltext")
+    val batch = Pipeline.run(spark, spark.read.parquet(inDir), prev, None, ts, "bp", 4)
+      .toDF().select("doc_id", "fulltext")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
   }
 
   test("streaming foreachBatch produces the same rows as the batch pipeline") {

@@ -1,0 +1,96 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gen.SpanGen
+
+/** The iceberg-shaped sink: atomic manifest commits, crash invisibility,
+  * exactly-once resume, metadata-only lineage (reference semantics
+  * adsft/writer.py:40-156 re-expressed as table-level snapshots).
+  */
+class SnapshotTableSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+
+  private def tmpTable(): String =
+    java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
+
+  test("kill-mid-write: stray data files are invisible; rerun is exactly-once") {
+    import spark.implicits._
+    val table = tmpTable()
+    val input = SpanGen.docs(spark, dir).toDF().cache()
+    val prev = SpanGen.prevState(spark, dir)
+
+    // run 1 commits a 40-doc input slice (the checker legitimately drops
+    // ignored/fresh docs, so the committed count is <= 40)
+    val slice = input.limit(40).cache()
+    Pipeline.runCommitted(spark, slice, prev, None, ts, "r1", table, 4)
+    val afterR1 = SnapshotTable.read(spark, table).get.select("doc_id").as[String].collect().toSet
+    assert(afterR1.nonEmpty && afterR1.size <= 40)
+
+    // a job dies AFTER writing data files but BEFORE the manifest swap:
+    // exactly what SnapshotTable.append does in step 1 with no step 3/4
+    Pipeline.run(spark, input, prev, None, ts, "crashed", 4).toDF()
+      .write.parquet(s"$table/data/${java.util.UUID.randomUUID()}")
+
+    // the committed view is unchanged — stray files are invisible
+    val afterCrash = SnapshotTable.read(spark, table).get.select("doc_id").as[String].collect().toSet
+    assert(afterCrash == afterR1)
+
+    // rerun over the FULL input: resume anti-join extracts only the rest
+    Pipeline.runCommitted(spark, input, prev, None, ts, "r2", table, 4)
+    val full = SnapshotTable.read(spark, table).get.select("doc_id").as[String].collect().toSeq
+    val expected = Pipeline.run(spark, input, prev, None, ts, "all", 4)
+      .toDF().select("doc_id").as[String].collect().toSet
+    assert(full.toSet == expected)
+    assert(full.size == full.toSet.size, "duplicate doc_ids after rerun")
+
+    // a third run: the checker re-examines skipped docs (reference
+    // semantics — a doc can become stale later) but extracts nothing new,
+    // so NO new snapshot is created and the table is unchanged
+    val r3 = Pipeline.runCommitted(spark, input, prev, None, ts, "r3", table, 4)
+    assert(r3 == 1L) // still the r2 snapshot
+    assert(SnapshotTable.read(spark, table).get.select("doc_id").as[String]
+      .collect().toSet == full.toSet)
+
+    // the metrics sidecar accumulated one row set per committing run and
+    // its counters reconcile with the committed table
+    val metrics = spark.read.parquet(s"$table/metrics")
+    assert(metrics.select("run_id").as[String].collect().toSet == Set("r1", "r2"))
+    val totalCounted = metrics.select((col("n_extracted") + col("n_errored")).as("n"))
+      .as[Long].collect().sum
+    assert(totalCounted == full.size.toLong)
+    input.unpersist(): Unit
+  }
+
+  test("manifest lineage: per-file footer row counts sum to the table count") {
+    import spark.implicits._
+    val table = tmpTable()
+    val df = (0 until 100).map(i => (s"D$i", i)).toDF("doc_id", "v").repartition(4)
+    SnapshotTable.commit(df, table)
+    val entries = SnapshotTable.lineage(spark, table)
+    assert(entries.nonEmpty)
+    assert(entries.forall(_.bytes > 0))
+    assert(entries.map(_.rows).sum == 100)
+    assert(SnapshotTable.committedRows(spark, table) == 100)
+    assert(SnapshotTable.read(spark, table).get.count() == 100)
+  }
+
+  test("append accumulates snapshots; overwrite replaces") {
+    import spark.implicits._
+    val table = tmpTable()
+    val a = Seq(("a", 1)).toDF("doc_id", "v")
+    val b = Seq(("b", 2)).toDF("doc_id", "v")
+    assert(SnapshotTable.commit(a, table) == 0L)
+    assert(SnapshotTable.commit(b, table) == 1L)
+    assert(SnapshotTable.read(spark, table).get.select("doc_id").as[String].collect().toSet == Set("a", "b"))
+    assert(SnapshotTable.overwrite(b, table) == 2L)
+    assert(SnapshotTable.read(spark, table).get.select("doc_id").as[String].collect().toSet == Set("b"))
+  }
+
+  test("read before any commit is None") {
+    assert(SnapshotTable.read(spark, tmpTable()).isEmpty)
+  }
+}

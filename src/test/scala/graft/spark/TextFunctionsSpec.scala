@@ -31,9 +31,25 @@ class TextFunctionsSpec extends AnyFunSuite {
   test("convert_entities: named -> char, numeric/unknown -> removed") {
     import spark.implicits._
     TextFunctions.register(spark)
+    // reference quirk: `amp` and `lt` are NOT in entitydefs -> deleted
     val got = Seq("&amp;A &lt;b&gt; &#65; &bogus; &Omega; end")
       .toDF("t").selectExpr("convert_entities(t)").as[String].head()
-    assert(got == "&A <b>   Ω end")
+    assert(got == "A b>   Ω end")
+  }
+
+  test("wrong arity / wrong input type fail analysis cleanly (no codegen crash)") {
+    import spark.implicits._
+    TextFunctions.register(spark)
+    val df = Seq(1).toDF("i")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("clean_text(i, i)").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("clean_text(i)").collect() // int, not string
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("convert_entities()").collect()
+    }
   }
 
   test("null-safe and codegen (no fallback) in the physical plan") {
