@@ -270,6 +270,14 @@ object SparkEntry {
   private def xmlFulltext =
     s"'I. INTRODUCTION ' || $C || ' Manual Entry 1 TABLE ' || $K || '. CAP ' || $K || ' NOTES ' || $K || chr(10) || 'APPENDIX ' || $K || ' APP ' || $W0"
 
+  private def elsevierFulltext =
+    s"'1 Introduction ' || $C || ' Acknowledgments THANK YOU ' || source || ' Appendix A APP ' || $W0"
+
+  private def teiFulltext = s"'Intro ' || $C || ' ACK ' || source"
+
+  private def htmlFulltext =
+    s"'TITLE ' || $K || ' PRE ' || $K || ' JOURNAL ' || $C || ' Table ' || $K || ': ONLY IN TABLE ' || $K || ' CELL ' || $K || ' COPYRIGHT ' || $K"
+
   private val checkerCase =
     """CASE
       WHEN doc_id % 23 = 0 THEN 'IGNORE_NON_EXISTENT_FT_SOURCE'
@@ -330,19 +338,17 @@ object SparkEntry {
           FROM documents WHERE doc_id % 10 IN (3, 4)""",
 
     "q04_extract_elsevier" ->
-      s"""SELECT $K AS doc_id,
-          '1 Introduction ' || $C || ' Acknowledgments THANK YOU ' || source || ' Appendix A APP ' || $W0 AS fulltext,
+      s"""SELECT $K AS doc_id, $elsevierFulltext AS fulltext,
           'Acknowledgments THANK YOU ' || source AS acknowledgements
           FROM documents WHERE doc_id % 10 = 5""",
 
     "q05_extract_tei" ->
-      s"""SELECT $K AS doc_id, 'Intro ' || $C || ' ACK ' || source AS fulltext,
+      s"""SELECT $K AS doc_id, $teiFulltext AS fulltext,
           'ACK ' || source AS acknowledgements
           FROM documents WHERE doc_id % 10 = 6""",
 
     "q06_extract_html" ->
-      s"""SELECT $K AS doc_id,
-          'TITLE ' || $K || ' PRE ' || $K || ' JOURNAL ' || $C || ' Table ' || $K || ': ONLY IN TABLE ' || $K || ' CELL ' || $K || ' COPYRIGHT ' || $K AS fulltext
+      s"""SELECT $K AS doc_id, $htmlFulltext AS fulltext
           FROM documents WHERE doc_id % 10 = 7""",
 
     "q07_extract_pdf" ->
@@ -444,6 +450,23 @@ object SparkEntry {
     "q24_facility_ner" ->
       s"""SELECT $K AS doc_id, 'FAC' || (doc_id % 5) AS facility_ner
           FROM documents WHERE doc_id % 10 IN (3, 4)""",
+
+    // END-TO-END oracle: the full pipeline (checker join -> needs-update
+    // filter -> dispatch -> extraction) is closed-form on the synthetic
+    // corpus — update_reason from the planted state families, fulltext from
+    // the per-format formulas (q01-q07), no errors on well-formed docs
+    "q30_pipeline_full" ->
+      s"""SELECT $K AS doc_id, update_reason,
+            CASE WHEN doc_id % 10 < 3 THEN $C
+                 WHEN doc_id % 10 IN (3, 4) THEN $xmlFulltext
+                 WHEN doc_id % 10 = 5 THEN $elsevierFulltext
+                 WHEN doc_id % 10 = 6 THEN $teiFulltext
+                 WHEN doc_id % 10 = 7 THEN $htmlFulltext
+                 ELSE $C END AS fulltext,
+            NULL::VARCHAR AS error
+          FROM (SELECT *, $checkerCase AS update_reason FROM documents) t
+          WHERE update_reason IN ('MISSING_FULL_TEXT','DIFFERING_FULL_TEXT','STALE_CONTENT',
+            'STALE_META','NOT_EXTRACTED_BEFORE','FORCE_TO_EXTRACT','FORCE_TO_SEND')""",
 
     // exact pairwise cosine over the same planted universe (mutation in
     // FLOAT arithmetic to match the Spark side bit-for-bit; comparison in
