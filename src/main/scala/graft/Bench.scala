@@ -166,7 +166,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "720").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "4").toInt
+    // 3 rounds: enough for best-per-level to find an unthrottled window at
+    // every level (measured), while bounding worst-case wall time if the
+    // host spends a round fully throttled
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "3").toInt
     // 8 before 2 within a round: measured 2-core times are systematically
     // calmer when a 2-core run follows a short 8-core run rather than the
     // previous round's 32-core session teardown

@@ -156,6 +156,21 @@ object SparkEntry {
     "q16_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(dedupUniverse(s, dir)).select("doc_a", "doc_b")),
 
+    // near-dup graph -> connected components -> canonical representative:
+    // chained mutations (drop 1 / drop 2 words) form multi-hop clusters, so
+    // transitive closure is actually exercised (short docs lose the
+    // base<->m2 edge but stay connected through m1)
+    "q36_dup_clusters" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 60).select("doc_id", "text")
+      val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+      def dropK(k: Int, off: Long) = base
+        .withColumn("text", concat_ws(" ", slice(words, lit(1), size(words) - k)))
+        .withColumn("doc_id", col("doc_id") + off)
+      val uni = base.unionAll(dropK(1, 1000000L)).unionAll(dropK(2, 2000000L))
+      Dedup.duplicateClusters(Dedup.ngramJaccardPairs(uni))
+    }),
+
     "q17_simhash" -> ((s, dir) =>
       Dedup.simhash(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
         .select("doc_id", "simhash")),
@@ -309,8 +324,9 @@ object SparkEntry {
                array_to_string(w[1:len(w)-1], ' ') AS text
         FROM (SELECT doc_id, $WORDS AS w FROM documents WHERE doc_id < 200))"""
 
-  private val jaccardPairsSql =
-    s"""WITH uni AS $dedupUniverseSql,
+  /** pairwise n-gram Jaccard >= 0.85 over any inline universe relation */
+  private def jaccardPairsOver(uni: String) =
+    s"""WITH uni AS $uni,
       toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0) AS w FROM uni),
       sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle FROM toks),
@@ -322,6 +338,18 @@ object SparkEntry {
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.85"""
+
+  private val jaccardPairsSql = jaccardPairsOver(dedupUniverseSql)
+
+  /** chained-mutation universe for cluster resolution: base + drop-1 + drop-2 */
+  private val chainUniverseSql =
+    s"""(SELECT doc_id, text FROM documents WHERE doc_id < 60
+        UNION ALL
+        SELECT doc_id + 1000000, array_to_string(w[1:len(w)-1], ' ')
+        FROM (SELECT doc_id, $WORDS AS w FROM documents WHERE doc_id < 60)
+        UNION ALL
+        SELECT doc_id + 2000000, array_to_string(w[1:len(w)-2], ' ')
+        FROM (SELECT doc_id, $WORDS AS w FROM documents WHERE doc_id < 60))"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_extract_txt" ->
@@ -399,6 +427,18 @@ object SparkEntry {
     "q15_dedup_jaccard" -> jaccardPairsSql,
 
     "q16_dedup_minhash_lsh" -> jaccardPairsSql,
+
+    // connected components as a recursive CTE: every doc in the pair graph
+    // labeled with the min doc_id reachable from it
+    "q36_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (${jaccardPairsOver(chainUniverseSql)}),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+          reach(id, label) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+          SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1""",
 
     "q17_simhash" -> simhashSql,
 

@@ -129,6 +129,47 @@ object Dedup {
     verified
   }
 
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * pair graph, labeling every doc with the minimum doc_id reachable from
+    * it (the canonical representative). This is the step that turns
+    * pairwise dedup output into "keep one per group" at corpus scale.
+    *
+    * Algorithm: large-star/small-star-style label propagation — each
+    * iteration joins current labels across edges and takes the min
+    * neighbor label; converges in O(log diameter) rounds (near-dup
+    * clusters are shallow — a handful of rounds in practice). Each round
+    * is one broadcast-free join + one groupBy; iteration stops as soon as
+    * no label changes, bounded by `maxIters`. No driver-side graph state:
+    * everything stays distributed.
+    *
+    * Input: pairs (doc_a, doc_b). Output: (doc_id, cluster_id) for every
+    * doc appearing in a pair, cluster_id = min doc_id of its component.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      // min label among self and neighbors
+      val viaEdges = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.unionAll(viaEdges)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .localCheckpoint(eager = true) // cut the growing lineage per round
+      changed = next.alias("n").join(labels.alias("o"), Seq("doc_id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   /** Exact word-n-gram Jaccard of two texts (pure). */
   def jaccard(ta: String, tb: String, n: Int = 3): Double = {
     def sh(t: String): Set[String] = {

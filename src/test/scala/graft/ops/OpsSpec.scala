@@ -109,6 +109,16 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs == 28, s"expected C(8,2)=28 capped pairs, got $pairs")
   }
 
+  test("duplicateClusters: transitive closure labels every doc with its component's min id") {
+    import spark.implicits._
+    // chain 1-2-3-4, triangle 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("ngramJaccardPairs leaves no cached RDDs behind") {
     import spark.implicits._
     val docs = (0 until 20).map(i =>
