@@ -25,12 +25,26 @@ object Dispatcher {
   val AcceptedFormats: Set[String] =
     Set("xml", "teixml", "html", "txt", "ocr", "http", "pdf", "pdf-grobid")
 
-  def extract(doc: Doc): Either[String, Extracted] = {
+  def extract(doc: Doc): Either[String, Extracted] =
+    extract(doc, HttpExtractor.defaultTransport)
+
+  /** Variant with an injectable HTTP transport (unit tests; servers behind
+    * auth). Only consulted for `http`-format docs that carry NO payload
+    * spans — a pre-fetched http doc (spans present) is cleaned like txt,
+    * mirroring that the reference's HTTP extractor inherits the basic-text
+    * parse path (extraction.py:1004-1012).
+    */
+  def extract(doc: Doc, transport: HttpExtractor.Transport): Either[String, Extracted] = {
     val fmt = if (doc.format == null) "" else doc.format.toLowerCase
     if (!AcceptedFormats.contains(fmt))
       return Left(s"unsupported file format: ${doc.format}")
     try {
       fmt match {
+        case "http" if rawParts(doc).isEmpty =>
+          HttpExtractor.extract(doc.source_path, transport).map { cleaned =>
+            val spans = if (cleaned.nonEmpty) Vector(Span("text", cleaned, null, 0)) else Vector.empty[Span]
+            Extracted(spans, cleaned, "", Vector.empty, Vector.empty)
+          }
         case "txt" | "ocr" | "http" => Right(extractText(doc))
         case "pdf"                  => Right(extractPdf(doc))
         case "pdf-grobid"           => Left("pdf-grobid requires an external Grobid service (disabled; reference config.py:8)")
