@@ -31,7 +31,7 @@ object Entities {
     require(in != null, "graft/entities.tsv resource missing")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     try {
-      src.getLines().filter(_.nonEmpty).map { line =>
+      src.getLines().filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
         val tab = line.indexOf('\t')
         val name = line.substring(0, tab)
         val esc = line.substring(tab + 1)
