@@ -28,11 +28,15 @@ val jdk17AddOpens = Seq(
 val driverMemMb: Int = {
   val raw = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g").trim
   val m = "^(\\d+)\\s*([gGmM]?)$".r
-  raw match {
+  val mb = raw match {
     case m(n, u) if u.equalsIgnoreCase("m") => n.toInt
     case m(n, _) => n.toInt * 1024
     case _ => sys.error(s"SPARK_DRIVER_MEM must be like '24g' or '24576m', got '$raw'")
   }
+  // below 512 MB the fixed young gen (-Xmn, min 256 MB) would meet or exceed
+  // -Xmx and the JVM refuses to start ("Too small heap for new size")
+  if (mb < 512) sys.error(s"SPARK_DRIVER_MEM must be >= 512m (got '$raw')")
+  mb
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
@@ -46,8 +50,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ceiling (CoreScaleProbe: 73k -> 583k docs/s at 32 threads).
   s"-Xms${driverMemMb}m",
   "-XX:+UseParallelGC",
-  // young gen = half the heap (parse garbage is short-lived), min 256 MB
-  s"-Xmn${math.max(256, driverMemMb / 2)}m",
+  // young gen = half the heap (parse garbage is short-lived), min 256 MB,
+  // capped 128 MB below the heap so -Xmn can never reach -Xmx
+  s"-Xmn${math.min(driverMemMb - 128, math.max(256, driverMemMb / 2))}m",
   "-XX:+AlwaysPreTouch",
   // Spark's generated classes fill the default 240m code cache, after which
   // the JIT stops compiling and hot kernel code (regex lambdas) runs

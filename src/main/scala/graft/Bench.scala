@@ -23,13 +23,48 @@ import graft.spark.Pipeline
   * kernel's, so pipeline/kernel is the pipeline's true efficiency at that
   * pair.
   *
+  * WALL-CLOCK BUDGET: the whole main fits inside
+  * SPARK_GRAFT_BENCH_BUDGET_SEC (default 1200 s in-JVM — comfortably inside
+  * the driver's harness limit including sbt startup/compile). Before every
+  * timed run the harness checks the remaining budget against that level's
+  * expected cost and skips what no longer fits (skips are counted in the
+  * JSON); a watchdog cancels in-flight Spark jobs once only the
+  * finalization reserve remains; the current best-known result JSON is
+  * re-emitted to stderr after every run and a shutdown hook prints the last
+  * one to stdout — so even a SIGTERM'd run leaves a parseable result line.
+  *
   * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (query-timing session),
-  * SPARK_GRAFT_BENCH_REPL (input amplification, default 900),
+  * SPARK_GRAFT_BENCH_REPL (input amplification, default 720),
+  * SPARK_GRAFT_BENCH_BUDGET_SEC (default 1200),
   * SPARK_GRAFT_SCALING=0 to skip the scaling runs,
-  * SPARK_GRAFT_SCALING_ROUNDS (default 2),
+  * SPARK_GRAFT_SCALING_ROUNDS (default 3),
   * SPARK_GRAFT_LEVELS (default "8,2,32" — per-round run order).
   */
 object Bench {
+
+  // ------------------------------------------------------ budget machinery
+
+  private val t0Nano = System.nanoTime()
+  private def elapsed: Double = (System.nanoTime() - t0Nano) / 1e9
+  @volatile private var budgetSec: Double = 1200.0
+  private def remaining: Double = budgetSec - elapsed
+  private val FinalReserveSec = 45.0
+  @volatile private var cutoff = false
+  @volatile private var finalPrinted = false
+  @volatile private var latestJson: String =
+    """{"metric":"docs_per_sec_end_to_end","value":0.0,"unit":"docs/sec","queries":{},"sf":"","input_docs":0,"total_query_sec":0.0,"scaling":null,"status":"starting"}"""
+  @volatile private var activeSession: SparkSession = _
+
+  /** tmpfs when it has headroom, the default temp dir otherwise — the bench
+    * must run on a stock container where /dev/shm may be tiny or absent.
+    */
+  private def fastDir(sub: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite && shm.getUsableSpace > (8L << 30)) "/dev/shm"
+      else System.getProperty("java.io.tmpdir", "/tmp")
+    s"$base/$sub"
+  }
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -48,11 +83,12 @@ object Bench {
       // at every level (a real cluster's input has plenty of splits).
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "1m")
-      // shuffle/spill on tmpfs: the sandbox /tmp is a virtual disk with
-      // high-variance latency that would otherwise dominate the measurement
-      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      // shuffle/spill on tmpfs when available: the sandbox /tmp is a virtual
+      // disk with high-variance latency that would otherwise dominate
+      .config("spark.local.dir", fastDir("graft-spark-local"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    activeSession = s
     s
   }
 
@@ -107,14 +143,6 @@ object Bench {
     (spark.read.parquet(outPath).count(), sec)
   }
 
-  /** every timed (cores, seconds) pair — reported verbatim in the output
-    * JSON so the best-of aggregation is auditable: the sandbox host throttles
-    * CPU in multi-second bursts (verified with a single-threaded spin loop
-    * varying 5x), so runs are noisy and best-of-N-per-level interleaved
-    * across rounds estimates unthrottled speed at every level.
-    */
-  private val allRuns = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-
   /** Spark-free kernel scaling probe: the same extraction kernel the
     * pipeline runs, on an in-memory doc mix, at the given thread counts.
     * This measures the HOST ceiling (VM CPU throttling, memory bandwidth,
@@ -165,10 +193,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "720").toInt
+    budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
     // 3 rounds: enough for best-per-level to find an unthrottled window at
-    // every level (measured), while bounding worst-case wall time if the
-    // host spends a round fully throttled
+    // every level (measured), while the budget machinery bounds worst-case
+    // wall time if the host spends a round fully throttled
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "3").toInt
     // 8 before 2 within a round: measured 2-core times are systematically
     // calmer when a 2-core run follows a short 8-core run rather than the
@@ -176,94 +205,178 @@ object Bench {
     val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "8,2,32")
       .split(",").map(_.trim.toInt).toSeq
     val work = {
-      val d = java.nio.file.Paths.get("/dev/shm/graft-bench")
+      val d = java.nio.file.Paths.get(fastDir("graft-bench"))
       deleteRec(d.toFile)
       java.nio.file.Files.createDirectories(d)
       d.toString
     }
 
+    // even a SIGTERM'd JVM leaves the best-known result on stdout (the
+    // `timeout` used by driver harnesses sends TERM first, so hooks run)
+    sys.addShutdownHook {
+      if (!finalPrinted) { println(latestJson); System.out.flush() }
+    }
+    // watchdog: once only the finalization reserve remains, stop starting
+    // work AND cancel whatever Spark job is in flight so the main loop
+    // reaches finalization instead of being killed mid-write
+    val watchdog = new Thread(() => {
+      while (!cutoff && !finalPrinted) {
+        if (remaining <= FinalReserveSec) cutoff = true
+        else Thread.sleep(math.max(100L, math.min(5000L, ((remaining - FinalReserveSec) * 1000).toLong)))
+      }
+      while (!finalPrinted) {
+        try Option(activeSession).foreach(_.sparkContext.cancelAllJobs())
+        catch { case _: Throwable => () }
+        Thread.sleep(2000)
+      }
+    }, "graft-bench-watchdog")
+    watchdog.setDaemon(true)
+    watchdog.start()
+
+    // ---- mutable result state (the JSON below is rebuildable at any time)
+    val best = scala.collection.mutable.Map.empty[Int, Double]
+    val docsAt = scala.collection.mutable.Map.empty[Int, Long]
+    val byRound = Array.fill(rounds)(scala.collection.mutable.Map.empty[Int, Double])
+    val allRuns = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val queryTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var kernel: Option[Map[Int, Double]] = None
+    var nInput = 0L
+    var runsSkipped = 0
+    var queriesSkipped = 0
+    var status = "running"
+
+    def rate: Map[Int, Double] = best.toMap.map { case (l, t) => l -> docsAt(l) / t }
+
+    def buildJson(): String = {
+      val r = rate
+      val headlineRate = r.getOrElse(32, if (r.nonEmpty) r(r.keys.max) else 0.0)
+      val qs = queryTimes.map { case (k, sec) => f""""$k":$sec%.3f""" }.mkString("{", ",", "}")
+      val totalSec = queryTimes.values.sum
+      def kSpeedup(a: Int, b: Int): Option[Double] =
+        kernel.flatMap(kr => for (ka <- kr.get(a); kb <- kr.get(b)) yield kb / ka)
+      def roundEffs(a: Int, b: Int): Seq[Double] =
+        byRound.toSeq.filter(m => m.contains(a) && m.contains(b))
+          .map(m => (m(a) / m(b)) / (b.toDouble / a))
+      def pairJson(a: Int, b: Int): String =
+        if (!(r.contains(a) && r.contains(b))) "null"
+        else {
+          val speedup = r(b) / r(a) // best-of-per-level, conservative
+          val eff = speedup / (b.toDouble / a)
+          val ceil = kSpeedup(a, b)
+          f"""{"cores":[$a,$b],"speedup":$speedup%.3f,"ideal":${b.toDouble / a}%.1f,"efficiency":$eff%.3f,""" +
+            s""""per_round_efficiency":${roundEffs(a, b).map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
+            ceil.map(c => f""""kernel_ceiling_speedup":$c%.3f,"pipeline_vs_ceiling":${speedup / c}%.3f}""")
+              .getOrElse(""""kernel_ceiling_speedup":null,"pipeline_vs_ceiling":null}""")
+        }
+      def levelJson(l: Int) =
+        f""""cores$l":{"docs":${docsAt(l)},"sec":${best(l)}%.2f,"docs_per_sec":${r(l)}%.1f,""" +
+          f""""all_runs_sec":${allRuns.filter(_._1 == l).map(x => f"${x._2}%.2f").mkString("[", ",", "]")}}"""
+      val scalingJson =
+        if (best.isEmpty) "null"
+        else {
+          val effStr =
+            if (r.contains(2) && r.contains(8)) f"${(r(8) / r(2)) / 4.0}%.3f" else "null"
+          val headPair =
+            if (best.contains(2) && best.contains(8))
+              s""""local[2]->local[8] (4x physical cores, timed regions ${f"${best(8)}%.0f"}s/${f"${best(2)}%.0f"}s)""""
+            else "null"
+          val kernelJson = kernel.map(_.toSeq.sortBy(_._1)
+            .map { case (t, v) => f""""threads$t":$v%.0f""" }.mkString("{", ",", "}")).getOrElse("null")
+          s"""{${best.keys.toSeq.sorted.map(levelJson).mkString(",")},""" +
+            s""""efficiency":$effStr,""" +
+            s""""headline_pair":$headPair,""" +
+            s""""pair_2_8":${pairJson(2, 8)},"pair_8_32":${pairJson(8, 32)},""" +
+            s""""kernel_docs_per_sec":$kernelJson,""" +
+            s""""aggregation":"best-of-$rounds-interleaved-rounds-per-level (host throttles in multi-minute windows; per-round ratios published)"}"""
+        }
+      f"""{"metric":"docs_per_sec_end_to_end","value":$headlineRate%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","input_docs":$nInput,"total_query_sec":$totalSec%.1f,"scaling":$scalingJson,""" +
+        f""""status":"$status","budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsed%.0f,"runs_skipped":$runsSkipped,"queries_skipped":$queriesSkipped}"""
+    }
+
+    def emitPartial(): Unit = {
+      latestJson = buildJson()
+      System.err.println("[bench-partial] " + latestJson)
+    }
+
     // ---- input materialization (untimed; identical for all runs)
     var spark = session(cpus)
-    val nInput = writeInput(spark, sfDir, repl, work)
+    nInput = writeInput(spark, sfDir, repl, work)
+    emitPartial()
 
     // ---- scaling runs: same job, N / 4N / 16N parallelism
-    var scalingJson = "null"
-    var headlineRate = 0.0
-    if (doScaling) {
-      require(Seq(2, 8, 32).forall(levels.contains),
-        s"scaling levels must include 2, 8, 32 (got $levels)")
-      // JIT/classloading warmup (untimed) so the first timed run isn't cold
-      runPipelineOnce(spark, work, s"$work/warmup", cpus)
+    var warmSec = 0.0
+    if (doScaling && !cutoff) {
+      // JIT/classloading warmup (untimed) so the first timed run isn't cold;
+      // also the base of the per-level cost estimates below
+      warmSec =
+        try { val (_, t) = runPipelineOnce(spark, work, s"$work/warmup", cpus); t }
+        catch { case _: Throwable => 30.0 }
       spark.stop()
-      val best = scala.collection.mutable.Map.empty[Int, Double]
-      val docsAt = scala.collection.mutable.Map.empty[Int, Long]
-      val byRound = Array.fill(rounds)(scala.collection.mutable.Map.empty[Int, Double])
+      // expected run cost per level: best observation so far, else the
+      // warmup time (measured at `cpus` cores) scaled by the measured
+      // per-level cost ratios (t2:t8:t32 ≈ 6.8:1.9:1.0 on this pipeline)
+      def levelFactor(l: Int): Double = l match {
+        case 32 => 1.0; case 8 => 1.9; case 2 => 6.8
+        case x => math.max(1.0, 32.0 / x)
+      }
+      def estimate(level: Int): Double =
+        best.getOrElse(level, warmSec * levelFactor(level) / levelFactor(cpus))
       for (round <- 1 to rounds; level <- levels) {
-        spark = session(level)
-        val (n, t) = runPipelineOnce(spark, work, s"$work/out$level", level)
-        System.err.println(f"[bench] round=$round cores=$level%2d sec=$t%7.2f")
-        allRuns += ((level, t))
-        byRound(round - 1)(level) = t
-        docsAt(level) = n
-        best(level) = math.min(best.getOrElse(level, Double.MaxValue), t)
-        spark.stop()
+        if (cutoff || remaining < estimate(level) * 1.4 + FinalReserveSec) {
+          runsSkipped += 1
+          System.err.println(f"[bench] SKIP round=$round cores=$level%2d (remaining=$remaining%.0fs < est=${estimate(level)}%.0fs x1.4 + reserve)")
+        } else {
+          spark = session(level)
+          try {
+            val (n, t) = runPipelineOnce(spark, work, s"$work/out$level", level)
+            System.err.println(f"[bench] round=$round cores=$level%2d sec=$t%7.2f")
+            allRuns += ((level, t))
+            byRound(round - 1)(level) = t
+            docsAt(level) = n
+            best(level) = math.min(best.getOrElse(level, Double.MaxValue), t)
+          } catch {
+            case e: Throwable =>
+              runsSkipped += 1
+              System.err.println(s"[bench] ABORTED round=$round cores=$level: ${e.getClass.getSimpleName}")
+          }
+          spark.stop()
+          emitPartial()
+        }
       }
       spark = session(cpus)
-      val rate = best.map { case (l, t) => l -> docsAt(l) / t }
-      headlineRate = rate.getOrElse(32, rate(levels.max))
 
-      // kernel ceiling at the same thread counts (no Spark anywhere)
-      val kr = kernelProbe(levels.sorted)
-      def kSpeedup(a: Int, b: Int) = kr(b) / kr(a)
-
-      // the host throttles CPU in multi-minute windows (observed 4-5x
-      // slowdowns lasting minutes), so single runs and single-round ratios
-      // both swing wildly; the defensible estimator is best-of-N per level
-      // (each level's best run approaches its unthrottled time as rounds
-      // grow) with every raw run and per-round ratio published alongside
-      def roundEffs(a: Int, b: Int): Seq[Double] =
-        byRound.toSeq.filter(r => r.contains(a) && r.contains(b))
-          .map(r => (r(a) / r(b)) / (b.toDouble / a))
-      def pairJson(a: Int, b: Int): String = {
-        val speedup = rate(b) / rate(a) // best-of-per-level, conservative
-        val eff = speedup / (b.toDouble / a)
-        val ceiling = kSpeedup(a, b) // host's own max speedup for this pair
-        f"""{"cores":[$a,$b],"speedup":$speedup%.3f,"ideal":${b.toDouble / a}%.1f,"efficiency":$eff%.3f,""" +
-          s""""per_round_efficiency":${roundEffs(a, b).map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
-          f""""kernel_ceiling_speedup":$ceiling%.3f,"pipeline_vs_ceiling":${speedup / ceiling}%.3f}"""
+      // kernel ceiling at the same thread counts (no Spark anywhere; ~45 s)
+      if (!cutoff && remaining > 90 + FinalReserveSec) {
+        kernel = Some(kernelProbe(levels.sorted))
+        emitPartial()
       }
-      def levelJson(l: Int) =
-        f""""cores$l":{"docs":${docsAt(l)},"sec":${best(l)}%.2f,"docs_per_sec":${rate(l)}%.1f,""" +
-          f""""all_runs_sec":${allRuns.filter(_._1 == l).map(r => f"${r._2}%.2f").mkString("[", ",", "]")}}"""
-      val kernelJson = kr.toSeq.sortBy(_._1)
-        .map { case (t, r) => f""""threads$t":${r}%.0f""" }.mkString("{", ",", "}")
-      val eff28 = (rate(8) / rate(2)) / 4.0
-      scalingJson =
-        s"""{${levels.sorted.map(levelJson).mkString(",")},""" +
-          f""""efficiency":$eff28%.3f,""" +
-          s""""headline_pair":"local[2]->local[8] (4x physical cores, timed regions ${f"${best(8)}%.0f"}s/${f"${best(2)}%.0f"}s)",""" +
-          s""""pair_2_8":${pairJson(2, 8)},"pair_8_32":${pairJson(8, 32)},""" +
-          s""""kernel_docs_per_sec":$kernelJson,""" +
-          s""""aggregation":"best-of-$rounds-interleaved-rounds-per-level (host throttles in multi-minute windows; per-round ratios published)"}"""
-    } else {
-      val (n, t) = runPipelineOnce(spark, work, s"$work/out", cpus)
-      headlineRate = n / t
+    } else if (!doScaling && !cutoff) {
+      try {
+        val (n, t) = runPipelineOnce(spark, work, s"$work/out", cpus)
+        docsAt(cpus) = n
+        best(cpus) = t
+      } catch { case _: Throwable => runsSkipped += 1 }
     }
 
     // ---- per-query timings at the env-cpus session
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-      name -> ((System.nanoTime() - t0) / 1e9, n)
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      if (cutoff || remaining < 15 + FinalReserveSec) queriesSkipped += 1
+      else {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(): Unit }
+        catch { case _: Throwable => () }
+        queryTimes(name) = (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, (sec, _)) => f""""$k":$sec%.3f""" }.mkString("{", ",", "}")
-    val totalSec = results.map(_._2._1).sum
 
-    println(
-      f"""{"metric":"docs_per_sec_end_to_end","value":$headlineRate%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","input_docs":$nInput,"total_query_sec":$totalSec%.1f,"scaling":$scalingJson}""")
+    status = if (runsSkipped + queriesSkipped > 0) "partial" else "complete"
+    latestJson = buildJson()
+    println(latestJson)
+    System.out.flush()
+    finalPrinted = true
     spark.stop()
     deleteRec(new java.io.File(work))
-    deleteRec(new java.io.File("/dev/shm/graft-spark-local"))
+    deleteRec(new java.io.File(fastDir("graft-spark-local")))
   }
 
   private def deleteRec(f: java.io.File): Unit = {

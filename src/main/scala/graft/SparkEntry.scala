@@ -244,7 +244,6 @@ object SparkEntry {
       Pipeline.metricsFrame(s, obs.get)
     }),
 
-    // --- rows-only checks (non-SQL-expressible; gated by ScalaTest instead) ---
     "q30_pipeline_full" -> ((s, dir) => {
       val input = SpanGen.checkerDocs(s, dir).toDF()
       val prev = SpanGen.prevState(s, dir)
@@ -252,9 +251,12 @@ object SparkEntry {
         .select("doc_id", "update_reason", "fulltext", "error")
     }),
 
+    // md5-derived hyperplanes make the bucket assignment (and so the
+    // candidate set and ranking) reproducible in the SQL oracle
     "q31_ann_lsh" -> ((s, dir) =>
       Similarity.lshAnn(s.read.parquet(s"$dir/embeddings.parquet"), 0L until 20L, 3)),
 
+    // md5-derived synthetic payloads make width/height closed-form in SQL
     "q32_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.mediaTable(extractFmt(s, dir, Seq(3, 4, 7, 8, 9)))
       Multimodal.extractFeatures(media).toDF()
@@ -508,6 +510,27 @@ object SparkEntry {
           WHERE update_reason IN ('MISSING_FULL_TEXT','DIFFERING_FULL_TEXT','STALE_CONTENT',
             'STALE_META','NOT_EXTRACTED_BEFORE','FORCE_TO_EXTRACT','FORCE_TO_SEND')""",
 
+    // the SAME sign-random-projection planes as Similarity.lshAnn, built
+    // from the same md5 calls (planeSign: bit 0 of the first hex char of
+    // md5("p:i") -> ±1), so bucket signatures — and therefore the
+    // hamming<=2 candidate set and the final ranking — are identical
+    "q31_ann_lsh" -> lshAnnSql,
+
+    // the stub decoder reads width/height from payload bytes 0/1, and the
+    // payload is md5(ref||':0')-prefixed, so both are closed-form here; the
+    // media-ref universe mirrors the q08/q09 span oracles per format
+    "q32_multimodal_features" ->
+      s"""WITH refs AS (
+            SELECT $K AS doc_id, 'fig' || $K || 'a.gif' AS media_ref FROM documents WHERE doc_id % 10 IN (3, 4)
+            UNION ALL SELECT $K, 'fig' || $K || 'b.gif' FROM documents WHERE doc_id % 10 IN (3, 4)
+            UNION ALL SELECT $K, 'img' || $K || '.gif' FROM documents WHERE doc_id % 10 = 7
+            UNION ALL SELECT $K, 'pimg' || $K || '.png' FROM documents WHERE doc_id % 10 IN (8, 9))
+          SELECT doc_id, media_ref,
+            64 + (('0x' || substr(md5(media_ref || ':0'), 1, 2))::INT & 127) AS width,
+            64 + (('0x' || substr(md5(media_ref || ':0'), 3, 2))::INT & 127) AS height,
+            256::BIGINT AS n_bytes
+          FROM refs""",
+
     // exact pairwise cosine over the same planted universe (mutation in
     // FLOAT arithmetic to match the Spark side bit-for-bit; comparison in
     // DOUBLE like Similarity.cosine). Planted pairs sit at ~0.9999, all
@@ -558,6 +581,32 @@ object SparkEntry {
         FROM (SELECT doc_id, $maxExpr AS m, * EXCLUDE (doc_id)
               FROM (SELECT doc_id, $hits FROM documents) z) y"""
   }
+
+  /** LSH-ANN oracle: rebuilds Similarity.lshAnn's md5-derived ±1 hyperplanes
+    * (planeSign), signs every vector, and ranks cosine within the
+    * hamming<=2 candidate set — the identical bucket/candidate/rank
+    * semantics in ANSI SQL.
+    */
+  private def lshAnnSql: String =
+    """WITH planes AS (
+         SELECT p, list_transform(generate_series(1, (SELECT max(len(embedding)) FROM embeddings)),
+           i -> CASE WHEN ('0x' || substr(md5(p::VARCHAR || ':' || (i - 1)::VARCHAR), 1, 1))::INT & 1 = 1
+                THEN 1.0 ELSE -1.0 END) AS sgn
+         FROM generate_series(0, 9) AS t(p)),
+       sigs AS (
+         SELECT e.vec_id, e.embedding,
+                sum(CASE WHEN list_dot_product(p.sgn, e.embedding::DOUBLE[]) >= 0
+                    THEN (1::BIGINT << p.p) ELSE 0 END) AS sig
+         FROM embeddings e CROSS JOIN planes p GROUP BY 1, 2),
+       cand AS (
+         SELECT q.vec_id AS qid, s.vec_id AS nid,
+                list_cosine_similarity(q.embedding::DOUBLE[], s.embedding::DOUBLE[]) AS sim
+         FROM sigs q JOIN sigs s
+           ON s.vec_id <> q.vec_id AND bit_count(xor(q.sig, s.sig)) <= 2
+         WHERE q.vec_id < 20)
+       SELECT qid AS vec_id, r AS rank, nid AS neighbor_id
+       FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS r FROM cand) t
+       WHERE r <= 3"""
 
   /** simhash oracle: identical md5-derived 60-bit word hashes, bit votes. */
   private def simhashSql: String = {

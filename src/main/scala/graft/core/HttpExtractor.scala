@@ -32,8 +32,12 @@ object HttpExtractor {
     val base = Map("User-Agent" -> "ADSClient", "Accept" -> "text/plain")
     previousTimestamp match {
       case Some(ts) =>
+        // RFC 7231 IMF-fixdate: 2-digit day and a LITERAL "GMT" zone. A "zzz"
+        // pattern at ZoneOffset.UTC renders "Z", which compliant servers
+        // ignore as malformed — the conditional GET would silently never
+        // take effect (the exact failure mode this header exists to fix).
         val fmt = java.time.format.DateTimeFormatter
-          .ofPattern("EEE, dd MMM yyyy HH:mm:ss zzz", java.util.Locale.US)
+          .ofPattern("EEE, dd MMM yyyy HH:mm:ss 'GMT'", java.util.Locale.US)
           .withZone(java.time.ZoneOffset.UTC)
         base + ("If-Modified-Since" -> fmt.format(ts))
       case None => base

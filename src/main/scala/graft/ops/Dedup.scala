@@ -134,13 +134,17 @@ object Dedup {
     * it (the canonical representative). This is the step that turns
     * pairwise dedup output into "keep one per group" at corpus scale.
     *
-    * Algorithm: large-star/small-star-style label propagation — each
-    * iteration joins current labels across edges and takes the min
-    * neighbor label; converges in O(log diameter) rounds (near-dup
-    * clusters are shallow — a handful of rounds in practice). Each round
-    * is one broadcast-free join + one groupBy; iteration stops as soon as
-    * no label changes, bounded by `maxIters`. No driver-side graph state:
-    * everything stays distributed.
+    * Algorithm: min-label propagation with pointer jumping (path halving).
+    * Each round (a) takes the min label over self + neighbors, then (b)
+    * replaces every label by its label's own label — the jump collapses
+    * chains so a path of length D resolves in O(log D) rounds, not O(D)
+    * (pure one-hop propagation would exhaust `maxIters` on a long chained
+    * near-dup cluster and silently return split components). Convergence
+    * detection rides the same pass: the previous label is carried through
+    * the aggregation and the round's single action both materializes the
+    * checkpoint and counts changed labels. Non-convergence within
+    * `maxIters` throws — never a silently wrong clustering. No driver-side
+    * graph state: everything stays distributed.
     *
     * Input: pairs (doc_a, doc_b). Output: (doc_id, cluster_id) for every
     * doc appearing in a pair, cluster_id = min doc_id of its component.
@@ -148,25 +152,39 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
     // undirected edge list, both directions
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .unionAll(pairs.select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
       .distinct()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      // min label among self and neighbors
+      // min label among self and neighbors; the previous label rides along
+      // as `old` (each doc has exactly one labels row, and viaEdges rows
+      // carry MaxValue, so min(old) is exactly the previous label)
       val viaEdges = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .select(col("dst").as("doc_id"), col("label"))
-      val next = labels.unionAll(viaEdges)
-        .groupBy("doc_id").agg(min("label").as("label"))
-        .localCheckpoint(eager = true) // cut the growing lineage per round
-      changed = next.alias("n").join(labels.alias("o"), Seq("doc_id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+        .select(col("dst").as("doc_id"), col("label"), lit(Long.MaxValue).as("old"))
+      val oneHop = labels.select(col("doc_id"), col("label"), col("label").as("old"))
+        .unionAll(viaEdges)
+        .groupBy("doc_id").agg(min("label").as("label"), min("old").as("old"))
+      // pointer jump: label <- label(label). Every label value is a node id,
+      // and a node's own label only decreases, so the jump is monotone.
+      val next = oneHop
+        .join(oneHop.select(col("doc_id").as("label"), col("label").as("plabel")),
+          Seq("label"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"),
+          col("old"))
+        .localCheckpoint(eager = false) // lineage cut; materialized by the count
+      changed = next.filter(col("label") =!= col("old")).count() // the round's ONE job
+      labels = next.select("doc_id", "label")
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge within maxIters=$maxIters rounds; " +
+          "component diameter exceeds the iteration budget — raise maxIters")
     labels.withColumnRenamed("label", "cluster_id")
   }
 
@@ -260,16 +278,17 @@ object Dedup {
       }.toDF("id_a", "id_b", "truncated")
       .groupBy("id_a", "id_b").agg(max("truncated").as("truncated"))
 
-    // exact cosine verification of every candidate
+    // exact cosine verification of every candidate; the truncated flag rides
+    // through to the output so hot-bucket recall loss is never silent
     val vecs = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
     candidates
       .join(vecs.withColumnRenamed("vec_id", "id_a").withColumnRenamed("embedding", "ea"), "id_a")
       .join(vecs.withColumnRenamed("vec_id", "id_b").withColumnRenamed("embedding", "eb"), "id_b")
-      .select(col("id_a"), col("id_b"), col("ea"), col("eb"))
-      .as[(Long, Long, Seq[Float], Seq[Float])]
-      .flatMap { case (a, b, ea, eb) =>
+      .select(col("id_a"), col("id_b"), col("truncated"), col("ea"), col("eb"))
+      .as[(Long, Long, Int, Seq[Float], Seq[Float])]
+      .flatMap { case (a, b, tr, ea, eb) =>
         val c = Similarity.cosine(ea, eb)
-        if (c >= tau) Some((a, b)) else None
-      }.toDF("id_a", "id_b")
+        if (c >= tau) Some((a, b, tr)) else None
+      }.toDF("id_a", "id_b", "truncated")
   }
 }

@@ -21,16 +21,22 @@ object Multimodal {
       height: Int, n_bytes: Long, feature: Array[Float], decode_error: String)
 
   /** Deterministic fake payload for a media_ref (so tests/benches have real
-    * bytes to push through the pipeline without external data).
+    * bytes to push through the pipeline without external data): concatenated
+    * md5 blocks md5(ref || ":" || j), j = 0, 1, ... Built ONLY from md5 so
+    * bytes 0/1 — the stub decoder's width/height source — are closed-form in
+    * ANSI SQL and the q32 DuckDB oracle can state the expected features.
     */
   def synthBytes(mediaRef: String, len: Int = 256): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     val out = new Array[Byte](len)
-    var h = scala.util.hashing.MurmurHash3.stringHash(mediaRef, 1234)
     var i = 0
+    var block = 0
     while (i < len) {
-      h = h * 0x9e3779b1 + 0x85ebca77
-      out(i) = (h >>> 24).toByte
-      i += 1
+      val d = md.digest(s"$mediaRef:$block".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val n = math.min(16, len - i)
+      System.arraycopy(d, 0, out, i, n)
+      i += n
+      block += 1
     }
     out
   }

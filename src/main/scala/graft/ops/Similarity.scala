@@ -70,21 +70,33 @@ object Similarity {
       .select(col("vec_id"), col("rank"), col("neighbor_id"))
   }
 
-  /** LSH-bucketed ANN (random hyperplanes, seeded, with hamming<=maxHamming
-    * multiprobe): the scale path. Returns (vec_id, neighbor_id, sim) for
-    * each query — approximate; recall measured against bruteKnn in tests.
+  /** md5-derived Rademacher hyperplane component for [[lshAnn]]: ±1 from
+    * bit 0 of the first hex char of md5("p:i"). Sign-random-projection LSH
+    * (the SimHash family) needs only a symmetric component distribution, and
+    * md5 makes the planes — hence the bucket assignment, candidate set, and
+    * output — reproducible in ANSI SQL (the q31 DuckDB oracle builds the
+    * identical planes from the same md5 calls).
+    */
+  private[ops] def planeSign(p: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((d(0) >> 4) & 1) == 1) 1.0 else -1.0
+  }
+
+  /** LSH-bucketed ANN (md5-derived ±1 hyperplanes, hamming<=maxHamming
+    * multiprobe): the scale path. Returns (vec_id, rank, neighbor_id) per
+    * query — approximate; recall measured against bruteKnn in tests and the
+    * full output hash-gated by the q31 DuckDB oracle.
     */
   def lshAnn(emb: DataFrame, queryIds: Seq[Long], k: Int = 3, planes: Int = 10,
       maxHamming: Int = 2): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
-    val rnd = new scala.util.Random(7)
-    val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
+    val hyper = Array.tabulate(planes, dim)(planeSign)
     val hB = spark.sparkContext.broadcast(hyper)
 
-    def sigOf(v: Seq[Float]): Int = {
-      val h = hB.value
+    def sigOf(h: Array[Array[Double]], v: Seq[Float]): Int = {
       var sig = 0
       var p = 0
       while (p < h.length) {
@@ -97,14 +109,19 @@ object Similarity {
     }
 
     val typed = emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Seq[Float])]
-    val sigs = typed.map { case (id, v) => (id, sigOf(v), v) }.toDF("vec_id", "sig", "embedding")
-    val queries = sigs.where(col("vec_id").isin(queryIds: _*))
-      .as[(Long, Int, Seq[Float])].collect()
+    // queries come straight off the id-pruned scan and are signed
+    // driver-side, so the corpus-wide signature projection below runs in
+    // exactly ONE job (the previous shape materialized it twice: once for
+    // the query collect, once for the scan)
+    val queries = typed.where(col("vec_id").isin(queryIds: _*)).collect()
+      .map { case (id, v) => (id, sigOf(hyper, v), v) }
     val qB = spark.sparkContext.broadcast(queries)
 
-    sigs.as[(Long, Int, Seq[Float])].mapPartitions { it =>
+    typed.mapPartitions { it =>
       val qs = qB.value
-      it.flatMap { case (id, sig, v) =>
+      val h = hB.value
+      it.flatMap { case (id, v) =>
+        val sig = sigOf(h, v)
         qs.iterator.collect {
           case (qid, qsig, qv) if qid != id &&
               java.lang.Integer.bitCount(sig ^ qsig) <= maxHamming =>
@@ -116,7 +133,9 @@ object Similarity {
         org.apache.spark.sql.expressions.Window
           .partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)
-      .select("vec_id", "rank", "neighbor_id", "sim")
+      // sim stays internal: rank already encodes the ordering, and a raw
+      // double column would make the hash-compare against the oracle flaky
+      .select("vec_id", "rank", "neighbor_id")
   }
 
   /** IVF (inverted-file) ANN — the classic coarse-quantizer scale path:

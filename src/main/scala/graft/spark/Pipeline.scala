@@ -193,7 +193,12 @@ object Pipeline {
       prevExtracted: Option[DataFrame], indexDate: java.sql.Timestamp,
       runId: String, tableDir: String, numPartitions: Int = 32): Long = {
     val todo = SnapshotTable.read(spark, tableDir) match {
-      case Some(committed) => resume(input, committed)
+      // only SUCCESSFULLY extracted rows count as done: the reference's
+      // skip-if-written protocol skips written fulltext only
+      // (adsft/writer.py:152-156), so error-channel rows are retried on
+      // every rerun; a later success supersedes the old error row in the
+      // [[SnapshotTable.readCurrent]] merge-on-read view
+      case Some(committed) => resume(input, committed.filter(col("error").isNull))
       case None => input
     }
     if (todo.isEmpty) -1L

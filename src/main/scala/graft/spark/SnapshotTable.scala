@@ -34,7 +34,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SnapshotTable {
 
-  final case class FileEntry(path: String, rows: Long, bytes: Long)
+  final case class FileEntry(path: String, rows: Long, bytes: Long, snapshot: Long)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -60,12 +60,10 @@ object SnapshotTable {
     df.write.parquet(dataDir.toString)
 
     // 2. per-file stats from parquet footers — metadata-only
-    val newEntries = hfs.listStatus(dataDir).toSeq
+    val newStats = hfs.listStatus(dataDir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-      .map { s =>
-        FileEntry(s.getPath.toString, footerRowCount(spark, s.getPath), s.getLen)
-      }
+      .map(s => (s.getPath.toString, footerRowCount(spark, s.getPath), s.getLen))
 
     // 3. next manifest = (previous ++ new) or just new (overwrite)
     val (prevId, prevEntries) = currentManifest(spark, tableDir)
@@ -73,14 +71,15 @@ object SnapshotTable {
     // appending zero rows to an existing table is a no-op (no new snapshot):
     // a rerun whose resume anti-join found nothing to add must not advance
     // table history
-    if (!replace && prevId >= 0 && newEntries.forall(_.rows == 0L)) return prevId
+    if (!replace && prevId >= 0 && newStats.forall(_._2 == 0L)) return prevId
     val snapshotId = prevId + 1
+    val newEntries = newStats.map { case (p, r, b) => FileEntry(p, r, b, snapshotId) }
     val entries = (if (replace) Seq.empty else prevEntries) ++ newEntries
     val manifestName = f"manifest-$snapshotId%06d-$uuid.tsv"
     val manifestsDir = new Path(s"$tableDir/manifests")
     hfs.mkdirs(manifestsDir)
     writeFileAtomic(hfs, new Path(manifestsDir, manifestName),
-      entries.map(e => s"${e.path}\t${e.rows}\t${e.bytes}").mkString("", "\n", "\n"))
+      entries.map(e => s"${e.path}\t${e.rows}\t${e.bytes}\t${e.snapshot}").mkString("", "\n", "\n"))
 
     // 4. the commit point: atomic swap of the _current pointer
     writeFileAtomic(hfs, new Path(s"$tableDir/_current"), manifestName + "\n")
@@ -94,6 +93,36 @@ object SnapshotTable {
     currentManifest(spark, tableDir).map { case (_, entries) =>
       if (entries.isEmpty) spark.emptyDataFrame
       else spark.read.parquet(entries.map(_.path): _*)
+    }
+
+  /** Merge-on-read view: one row per `keyCol`, keeping the row committed by
+    * the HIGHEST snapshot — a retried doc's success row supersedes its
+    * earlier error-channel row (cf. [[Pipeline.runCommitted]]'s
+    * retry-failures resume). This is the read-side half of row-level upsert:
+    * one extra shuffle on the key, the same cost shape as an Iceberg
+    * merge-on-read scan, with the per-file snapshot attribution coming from
+    * manifest metadata (broadcast — no extra data pass). Use [[read]] when
+    * the raw append history is wanted.
+    */
+  def readCurrent(spark: SparkSession, tableDir: String,
+      keyCol: String = "doc_id"): Option[DataFrame] =
+    currentManifest(spark, tableDir).map { case (_, entries) =>
+      if (entries.isEmpty) spark.emptyDataFrame
+      else {
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val df = spark.read.parquet(entries.map(_.path): _*)
+        val fileSnap = entries
+          .map(e => (new Path(e.path).toUri.getPath, e.snapshot))
+          .toDF("_file", "_snapshot")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCol).orderBy(col("_snapshot").desc)
+        df.withColumn("_file", regexp_replace(input_file_name(), "^[a-z]+:/+", "/"))
+          .join(broadcast(fileSnap), "_file")
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .drop("_file", "_snapshot", "_rn")
+      }
     }
 
   /** Per-file lineage of the live snapshot: (file, rows, bytes). */
@@ -116,8 +145,8 @@ object SnapshotTable {
       val id = name.stripPrefix("manifest-").take(6).toLong
       val entries = readFile(hfs, new Path(s"$tableDir/manifests/$name"))
         .split('\n').toSeq.filter(_.nonEmpty).map { line =>
-          val Array(p, r, b) = line.split('\t')
-          FileEntry(p, r.toLong, b.toLong)
+          val Array(p, r, b, s) = line.split('\t')
+          FileEntry(p, r.toLong, b.toLong, s.toLong)
         }
       Some((id, entries))
     }

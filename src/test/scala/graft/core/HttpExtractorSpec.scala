@@ -31,7 +31,8 @@ class HttpExtractorSpec extends AnyFunSuite {
       Map("User-Agent" -> "ADSClient", "Accept" -> "text/plain"))
     val ts = java.time.Instant.parse("2026-01-01T00:00:00Z")
     val h = HttpExtractor.requestHeaders(Some(ts))
-    assert(h("If-Modified-Since") == "Thu, 01 Jan 2026 00:00:00 Z")
+    // RFC 7231 IMF-fixdate: 2-digit day, literal GMT (not "Z")
+    assert(h("If-Modified-Since") == "Thu, 01 Jan 2026 00:00:00 GMT")
     assert(h("User-Agent") == "ADSClient")
   }
 

@@ -95,7 +95,7 @@ class OpsSpec extends AnyFunSuite {
       if Similarity.cosine(va, vb) >= 0.95
     } yield (math.min(a, b), math.max(a, b))).toSet
     val lsh = Dedup.embeddingNearDup(uni, tau = 0.95)
-      .as[(Long, Long)].collect().toSet
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(exact.size == 100) // every planted pair, nothing else
     assert(lsh == exact, s"missing=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
   }

@@ -65,6 +65,48 @@ class SnapshotTableSpec extends AnyFunSuite {
     input.unpersist(): Unit
   }
 
+  test("error rows are retried on rerun; a later success supersedes in readCurrent") {
+    import spark.implicits._
+    val table = tmpTable()
+    val prev = SpanGen.prevState(spark, dir)
+    // ids 7 and 28: both NOT_EXTRACTED_BEFORE (%7==0), no force flags, not
+    // zero-byte/missing — guaranteed to reach the extract stage
+    val good = SpanGen.docs(spark, dir).toDF()
+      .filter(col("doc_id").isin("D000000007", "D000000028"))
+    // doc 28 arrives with a format outside the accepted whitelist -> C8
+    // error side-channel row
+    val broken = good.withColumn("format",
+      when(col("doc_id") === "D000000028", lit("weird")).otherwise(col("format")))
+
+    assert(Pipeline.runCommitted(spark, broken, prev, None, ts, "e1", table, 2) == 0L)
+    val raw1 = SnapshotTable.read(spark, table).get
+    assert(raw1.count() == 2)
+    assert(raw1.filter(col("error").isNotNull).select("doc_id").as[String]
+      .collect().toSeq == Seq("D000000028"))
+
+    // rerun with the SAME broken input: the failed doc is retried (the
+    // reference's skip-if-written skips only written fulltext) — a new
+    // snapshot commits, the success row is NOT re-extracted
+    assert(Pipeline.runCommitted(spark, broken, prev, None, ts, "e2", table, 2) == 1L)
+    assert(SnapshotTable.read(spark, table).get.count() == 3)
+
+    // the source is fixed -> the retry succeeds; merge-on-read yields one
+    // CURRENT row per doc, both successful (the old error rows superseded)
+    assert(Pipeline.runCommitted(spark, good, prev, None, ts, "e3", table, 2) == 2L)
+    val cur = SnapshotTable.readCurrent(spark, table).get
+    assert(cur.count() == 2)
+    assert(cur.filter(col("error").isNotNull).count() == 0)
+    assert(SnapshotTable.read(spark, table).get.count() == 4) // raw history intact
+
+    // fully-committed table: a rerun finds nothing to do, returns -1, and
+    // does not advance table history
+    assert(Pipeline.runCommitted(spark, good, prev, None, ts, "e4", table, 2) == -1L)
+    assert(SnapshotTable.lineage(spark, table).map(_.snapshot).max == 2L)
+    // metrics sidecar: one batch per committing run, none for the no-op
+    val metrics = spark.read.parquet(s"$table/metrics")
+    assert(metrics.select("run_id").as[String].collect().toSet == Set("e1", "e2", "e3"))
+  }
+
   test("manifest lineage: per-file footer row counts sum to the table count") {
     import spark.implicits._
     val table = tmpTable()
