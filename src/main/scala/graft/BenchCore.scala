@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.Synth
+import graft.spark.Pipeline
+
+/** Shared pieces of the benchmark harness, used by both the coordinating
+  * [[Bench]] main and the per-level forked [[BenchLevel]] main (one JVM per
+  * parallelism level, CPU-pinned with `taskset`, so GC/compiler/IO thread
+  * pools and `availableProcessors` all size to the level under test — the
+  * faithful proxy for an N-core executor container).
+  */
+private[graft] object BenchCore {
+
+  /** Bucket count of the production table layout (see [[registerTables]]). */
+  val Buckets = 128
+
+  /** Bucketed input layout on by default; SPARK_GRAFT_BENCH_BUCKETED=0
+    * restores plain parquet for comparison.
+    */
+  def bucketed: Boolean = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUCKETED", "1") == "1"
+
+  /** tmpfs when it has headroom, the default temp dir otherwise — the bench
+    * must run on a stock container where /dev/shm may be tiny or absent.
+    */
+  def fastDir(sub: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite && shm.getUsableSpace > (8L << 30)) "/dev/shm"
+      else System.getProperty("java.io.tmpdir", "/tmp")
+    s"$base/$sub"
+  }
+
+  def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", 4 * cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      // fixed post-shuffle granularity of 4 tasks/core at every level:
+      // size-based AQE coalescing would otherwise hand different levels
+      // different task counts (and 2-core runs just 2 giant tasks, where a
+      // single straggler costs 20%+); skew-join splitting stays on
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // local-bench input is ~a GB: size splits so read parallelism >= cores
+      // at every level (a real cluster's input has plenty of splits).
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      // shuffle/spill on tmpfs when available: the sandbox /tmp is a virtual
+      // disk with high-variance latency that would otherwise dominate
+      .config("spark.local.dir", fastDir("graft-spark-local"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Re-register the bucketed tables in a fresh session's in-memory catalog
+    * (the warehouse data survives sessions and JVMs; the catalog entries do
+    * not — a production deployment gets this from the real table catalog).
+    * The DDL is derived from the parquet files themselves, so any JVM can
+    * register without out-of-band schema transfer.
+    */
+  def registerTables(spark: SparkSession, path: String): Unit = if (bucketed) {
+    for ((name, sub) <- Seq(("graft_bench_input", "input"), ("graft_bench_prev", "prev"))) {
+      val ddl = spark.read.parquet(s"$path/$sub").schema.toDDL
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(
+        s"""CREATE TABLE $name ($ddl) USING parquet
+            CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $Buckets BUCKETS
+            LOCATION '$path/$sub'""")
+    }
+  }
+
+  /** One timed end-to-end run; returns (docsWritten, seconds). The timed
+    * region covers the pipeline (scan -> join -> extract -> sink); the
+    * catalog-metadata step (table registration, file listing, schema read)
+    * happens before t0 — a production job gets all three from the table
+    * catalog, not per-query. `limit` bounds the input (used for the
+    * untimed JIT warmup pass in a cold per-level JVM).
+    */
+  def runPipelineOnce(spark: SparkSession, path: String, outPath: String,
+      parts: Int, limit: Option[Int] = None): (Long, Double) = {
+    val (input0, prev) =
+      if (bucketed) (spark.table("graft_bench_input"), spark.table("graft_bench_prev"))
+      else (spark.read.parquet(s"$path/input"), spark.read.parquet(s"$path/prev"))
+    val input = limit.map(input0.limit).getOrElse(input0)
+    input.queryExecution.analyzed // force listing+schema resolution pre-t0
+    prev.queryExecution.analyzed
+    val t0 = System.nanoTime()
+    Pipeline.run(spark, input, prev, None,
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "bench", parts)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    val sec = (System.nanoTime() - t0) / 1e9
+    (spark.read.parquet(outPath).count(), sec)
+  }
+
+  /** Spark-free kernel scaling probe: the same extraction kernel the
+    * pipeline runs, on an in-memory doc mix, at the given thread counts.
+    * This measures the HOST ceiling (VM CPU throttling, memory bandwidth,
+    * GC) — the upper bound any Spark job in this JVM can scale to. Inside a
+    * CPU-pinned level JVM it measures the pinned ceiling for that level.
+    */
+  def kernelProbe(threads: Seq[Int], quotaSec: Double = 4.0, draws: Int = 3): Map[Int, Double] = {
+    val words = Array("the", "fast", "key", "order", "sort", "table", "scan",
+      "merge", "part", "window", "small", "hash", "join", "batch", "stream")
+    val docs = (0 until 60000).map { i =>
+      val rnd = new scala.util.Random(i)
+      val text = Array.fill(40 + rnd.nextInt(40))(words(rnd.nextInt(words.length))).mkString(" ")
+      Synth.doc(i.toLong, text, s"src$i")
+    }.toArray
+    // time-quota measurement: every run lasts ~quotaSec regardless of thread
+    // count, so each sample spans the same exposure to the host's CPU-burst
+    // throttling (a fixed doc count would let high-thread runs dodge bursts
+    // that low-thread runs must absorb)
+    def run(t: Int): Double = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(t)
+      val idx = new java.util.concurrent.atomic.AtomicLong(0)
+      val deadline = System.nanoTime() + (quotaSec * 1e9).toLong
+      val t0 = System.nanoTime()
+      val tasks = (0 until t).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            var n = 0L
+            while (System.nanoTime() < deadline) {
+              val i = idx.getAndIncrement()
+              graft.core.Dispatcher.extract(docs((i % docs.length).toInt))
+              n += 1
+            }
+            n
+          }
+        })
+      }
+      val total = tasks.map(_.get().longValue).sum
+      pool.shutdown()
+      total / ((System.nanoTime() - t0) / 1e9)
+    }
+    run(32) // warmup (JIT)
+    val out = scala.collection.mutable.Map.empty[Int, Double]
+    for (_ <- 1 to draws; t <- threads)
+      out(t) = math.max(out.getOrElse(t, 0.0), run(t))
+    out.toMap
+  }
+
+  def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
+  }
+}
+
+/** Per-level benchmark child: ONE parallelism level in its own JVM, meant to
+  * be launched under `taskset -c 0-(N-1)` so the JVM genuinely has N cores
+  * (GC threads, JIT compiler threads, netty pools, `availableProcessors`).
+  * Running all levels inside one 32-core JVM lets a `local[2]` run park its
+  * GC and compiler work on 30 idle cores — inflating the 2-core rate and
+  * understating the measured 2->8 scaling.
+  *
+  * args: <cores> <workPath> <warmLimitDocs>
+  * stdout: `GRAFT_LEVEL_RESULT <docsWritten> <seconds> <kernelDocsPerSec>`
+  */
+object BenchLevel {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val work = args(1)
+    val warmLimit = args(2).toInt
+    val spark = BenchCore.session(cores)
+    BenchCore.registerTables(spark, work)
+    // untimed JIT warmup on a bounded slice (cold JVM: codegen + kernel)
+    BenchCore.runPipelineOnce(spark, work, s"$work/warm$cores", cores, Some(warmLimit))
+    val (n, sec) = BenchCore.runPipelineOnce(spark, work, s"$work/out$cores", cores)
+    // pinned kernel ceiling for this level (same CPU set, sized pools)
+    val kernelRate = BenchCore.kernelProbe(Seq(cores), quotaSec = 3.0).getOrElse(cores, 0.0)
+    println(f"GRAFT_LEVEL_RESULT $n $sec%.3f $kernelRate%.1f")
+    System.out.flush()
+    spark.stop()
+  }
+}

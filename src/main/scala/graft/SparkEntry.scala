@@ -263,6 +263,70 @@ object SparkEntry {
         .select("doc_id", "media_ref", "width", "height", "n_bytes")
     }),
 
+    // stateful streaming assembly run in BATCH mode (same code path as the
+    // stream; cross-batch arrival is covered by MultipartStreamingSpec).
+    // Parts are emitted OUT OF ORDER (index 1 before 0) so the gated output
+    // pins arrival-order independence.
+    "q37_multipart_assembly" -> ((s, dir) => {
+      import s.implicits._
+      val parts = s.read.parquet(s"$dir/documents.parquet")
+        .filter(pmod(col("doc_id"), lit(10)) < 2)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val (a, b) = Synth.splitWords(text)
+          val key = Synth.key(id)
+          Seq(
+            graft.streaming.MultipartAssembly.PartRow(key, "txt", "ADS", Synth.sourcePath(id), 1, 2, b),
+            graft.streaming.MultipartAssembly.PartRow(key, "txt", "ADS", Synth.sourcePath(id), 0, 2, a))
+        }
+      graft.streaming.MultipartAssembly.assemble(parts).toDF()
+        .select(col("doc_id"), col("complete"),
+          col("spans")(0)("text").as("part0"), col("spans")(1)("text").as("part1"))
+    }),
+
+    // event-time windowed counters in BATCH mode (watermark is a no-op on
+    // batch; streaming finalization is covered by MultipartStreamingSpec).
+    // Window starts surface as epoch seconds to keep the compare numeric.
+    "q38_windowed_metrics" -> ((s, dir) => {
+      val d = SpanGen.docs(s, dir).toDF()
+        .withColumn("error",
+          when(pmod(expr("cast(substring(doc_id, 2) as long)"), lit(31)) === 0, lit("planted"))
+            .otherwise(lit(null).cast("string")))
+        .select(col("format"), col("error"), col("src_mtime").as("event_time"))
+      graft.streaming.StreamingMetrics.windowedMetrics(d, "event_time", "1 day", "1 minute")
+        .select(unix_timestamp(col("window_start")).as("window_start_epoch"),
+          col("format"), col("n_extracted"), col("n_errored"))
+    }),
+
+    // PII planted deterministically from doc_id on ~1/7 of docs: the scrub
+    // must count and redact exactly what the oracle plants with the same
+    // arithmetic (patterns restricted to Java-regex/RE2-agreeing constructs)
+    "q39_pii_scrub" -> ((s, dir) => {
+      val planted = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+              lit("@mail.example.org or +1 555 0142 from 10.0.0."),
+              (col("doc_id") % 256).cast("string")))
+            .otherwise(col("text")))
+      TextAnalysis.piiScrub(planted)
+        .select("doc_id", "n_emails", "n_ipv4", "n_phones", "text_scrubbed")
+    }),
+
+    // repetition/structure quality stats over deterministically imposed
+    // 4-word lines; ~1/11 docs get a planted duplicate leading line pair so
+    // the dup-heavy branch is exercised
+    "q40_gopher_repetition" -> ((s, dir) => {
+      val planted = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0,
+            concat(lit("lorem ipsum dolor sit lorem ipsum dolor sit "), col("text")))
+            .otherwise(col("text")))
+      TextAnalysis.repetitionStats(planted)
+        .select("doc_id", "n_lines", "n_dup_lines", "n_short_lines",
+          "mean_word_len_x100", "gopher_flag")
+    }),
+
     // planted universe: base vectors (cosine <= ~0.44 pairwise on the
     // synthetic corpus) + per-base near-duplicates (first component +0.05 in
     // FLOAT arithmetic, cosine ~0.9999), so tau=0.95 separates cleanly and
@@ -509,6 +573,78 @@ object SparkEntry {
           FROM (SELECT *, $checkerCase AS update_reason FROM documents) t
           WHERE update_reason IN ('MISSING_FULL_TEXT','DIFFERING_FULL_TEXT','STALE_CONTENT',
             'STALE_META','NOT_EXTRACTED_BEFORE','FORCE_TO_EXTRACT','FORCE_TO_SEND')""",
+
+    // assembly restores splitWords' halves in part order regardless of
+    // arrival order; single-word docs yield an empty second part
+    "q37_multipart_assembly" ->
+      s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents WHERE doc_id % 10 < 2),
+          k AS (SELECT doc_id, w, (len(w) + 1) // 2 AS h FROM d)
+          SELECT $K AS doc_id, true AS complete,
+                 array_to_string(w[1:h], ' ') AS part0,
+                 array_to_string(w[h+1:len(w)], ' ') AS part1
+          FROM k""",
+
+    // src_mtime = 2020-01-01 + (doc_id % 100) days is day-aligned, so each
+    // doc's 1-day window starts at its own mtime; counts split by the
+    // planted error family (doc_id % 31 == 0)
+    "q38_windowed_metrics" ->
+      """SELECT epoch(TIMESTAMP '2020-01-01 00:00:00' + INTERVAL ((doc_id % 100)) DAY)::BIGINT AS window_start_epoch,
+                CASE WHEN doc_id % 10 IN (0,1) THEN 'txt' WHEN doc_id % 10 = 2 THEN 'ocr'
+                     WHEN doc_id % 10 IN (3,4,5) THEN 'xml' WHEN doc_id % 10 = 6 THEN 'teixml'
+                     WHEN doc_id % 10 = 7 THEN 'html' ELSE 'pdf' END AS format,
+                sum(CASE WHEN doc_id % 31 = 0 THEN 0 ELSE 1 END)::BIGINT AS n_extracted,
+                sum(CASE WHEN doc_id % 31 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_errored
+         FROM documents GROUP BY 1, 2""",
+
+    // same planted-PII arithmetic, same regexes (constructs chosen to agree
+    // between Java regex and RE2), same email -> ip -> phone redaction order
+    "q39_pii_scrub" -> {
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val ipv4 = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"""
+      val phone = """\+[0-9]{1,2} [0-9]{3} [0-9]{4}"""
+      s"""WITH p AS (
+            SELECT doc_id, CASE WHEN doc_id % 7 = 0
+              THEN text || ' reach user' || doc_id::VARCHAR ||
+                   '@mail.example.org or +1 555 0142 from 10.0.0.' || (doc_id % 256)::VARCHAR
+              ELSE text END AS t
+            FROM documents)
+          SELECT doc_id,
+            len(regexp_extract_all(t, '$email')) AS n_emails,
+            len(regexp_extract_all(t, '$ipv4')) AS n_ipv4,
+            len(regexp_extract_all(t, '$phone')) AS n_phones,
+            regexp_replace(regexp_replace(regexp_replace(t,
+              '$email', '<EMAIL>', 'g'),
+              '$ipv4', '<IP>', 'g'),
+              '$phone', '<PHONE>', 'g') AS text_scrubbed
+          FROM p"""
+    },
+
+    // identical 4-word line derivation (1-based inclusive list slices
+    // truncate at the end in both engines); integer stats; same CASE order
+    "q40_gopher_repetition" ->
+      s"""WITH p AS (
+            SELECT doc_id, CASE WHEN doc_id % 11 = 0
+              THEN 'lorem ipsum dolor sit lorem ipsum dolor sit ' || text
+              ELSE text END AS text
+            FROM documents),
+          w AS (SELECT doc_id, $WORDS AS ws FROM p),
+          l AS (SELECT doc_id, ws,
+                 CASE WHEN len(ws) > 0 THEN
+                   list_transform(generate_series(1, ((len(ws) + 3) // 4)::INT),
+                     i -> array_to_string(ws[(i-1)*4+1 : (i-1)*4+4], ' '))
+                 ELSE [] END AS lines
+                FROM w)
+          SELECT doc_id,
+            len(lines) AS n_lines,
+            len(lines) - len(list_distinct(lines)) AS n_dup_lines,
+            len(list_filter(lines, x -> len(x) < 18)) AS n_short_lines,
+            CASE WHEN len(ws) > 0
+              THEN ((list_sum(list_transform(ws, x -> len(x))) * 100) // len(ws))::BIGINT
+              ELSE 0 END AS mean_word_len_x100,
+            CASE WHEN len(lines) > 0 AND (len(lines) - len(list_distinct(lines))) * 20 >= len(lines) THEN 'dup-heavy'
+                 WHEN len(lines) > 0 AND len(list_filter(lines, x -> len(x) < 18)) * 2 >= len(lines) THEN 'short-line'
+                 ELSE 'ok' END AS gopher_flag
+          FROM l""",
 
     // the SAME sign-random-projection planes as Similarity.lshAnn, built
     // from the same md5 calls (planeSign: bit 0 of the first hex char of

@@ -83,4 +83,64 @@ object TextAnalysis {
       when(size(ws) >= n, array_min(transform(shingles, s => md5(s))))
         .otherwise(md5(col(textCol))))
   }
+
+  /** PII patterns kept to constructs whose match semantics agree between
+    * Java regex (Spark) and RE2 (DuckDB/oracle): character classes, bounded
+    * repetition, no lookaround, no backtracking-sensitive alternation.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "\\+[0-9]{1,2} [0-9]{3} [0-9]{4}"
+
+  /** PII scrubbing for training-data curation: counts and redacts emails,
+    * IPv4 addresses, and +CC NNN NNNN phone numbers. Pure column
+    * expressions (single scan, codegen, no shuffle). Redaction order is
+    * email -> ip -> phone so a pattern never matches inside an earlier
+    * placeholder; counts are taken on the ORIGINAL text.
+    */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails", size(regexp_extract_all(t, lit(EmailRe), lit(0))))
+      .withColumn("n_ipv4", size(regexp_extract_all(t, lit(Ipv4Re), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(PhoneRe), lit(0))))
+      .withColumn("text_scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>"))
+  }
+
+  /** Gopher-style repetition / structure statistics. The corpus text is a
+    * single line, so structure is IMPOSED deterministically: the word
+    * stream is cut into fixed `lineWords`-word lines (the same derivation
+    * an oracle can replay), then duplicate-line and short-line fractions
+    * plus mean word length feed a quality flag. All integer-valued so a
+    * cross-engine hash compare is exact.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+      lineWords: Int = 4): DataFrame = {
+    val ws = words(col(textCol))
+    val nw = size(ws)
+    val nLines = floor((nw + lit(lineWords - 1)) / lit(lineWords)).cast("int")
+    val lines = when(nw > 0,
+      transform(sequence(lit(1), nLines),
+        i => concat_ws(" ", slice(ws, (i - 1) * lineWords + 1, lit(lineWords)))))
+      .otherwise(array().cast("array<string>"))
+    val nDup = size(lines) - size(array_distinct(lines))
+    val nShort = size(filter(lines, l => length(l) < 18))
+    val meanLenX100 = when(nw > 0,
+      floor(aggregate(ws, lit(0L), (acc, w) => acc + length(w)) * lit(100) / nw))
+      .otherwise(lit(0L)).cast("long")
+    docs
+      .withColumn("n_lines", size(lines))
+      .withColumn("n_dup_lines", nDup)
+      .withColumn("n_short_lines", nShort)
+      .withColumn("mean_word_len_x100", meanLenX100)
+      .withColumn("gopher_flag",
+        when(col("n_lines") > 0 && nDup * 20 >= col("n_lines"), "dup-heavy")
+          .when(col("n_lines") > 0 && nShort * 2 >= col("n_lines"), "short-line")
+          .otherwise("ok"))
+  }
 }

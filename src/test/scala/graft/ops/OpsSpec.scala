@@ -151,4 +151,40 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(out(1L) == "en" && out(2L) == "es" && out(3L) == "und")
   }
+
+  test("pii scrub counts and redacts emails, ips, phones; clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@x-y.example.com and 192.168.0.1 then call +44 207 9460"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.io c@d.org one ip 10.0.0.7")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs)
+      .select("doc_id", "n_emails", "n_ipv4", "n_phones", "text_scrubbed")
+      .as[(Long, Int, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1, 1, 1, "mail <EMAIL> and <IP> then call <PHONE>")))
+    assert(out(2L) == ((2L, 0, 0, 0, "no pii here at all")))
+    assert(out(3L) == ((3L, 2, 1, 0, "two mails <EMAIL> <EMAIL> one ip <IP>")))
+  }
+
+  test("repetition stats: imposed lines, dup/short counts, flag order") {
+    import spark.implicits._
+    // 8 words -> two identical 4-word lines (11 chars, so also short):
+    // dup-heavy wins because the dup branch is checked first
+    val dup = "aa bb cc dd aa bb cc dd"
+    // 5 words -> lines ["aa bb cc dd", "ee"], both short, no dups
+    val short = "aa bb cc dd ee"
+    // 8 distinct >=18-char-line words -> 2 long distinct lines -> ok
+    val ok = "alpha betaa gamma delta epsil zetaa etaaa theta"
+    val docs = Seq((1L, dup), (2L, short), (3L, ""), (4L, ok))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs)
+      .select("doc_id", "n_lines", "n_dup_lines", "n_short_lines",
+        "mean_word_len_x100", "gopher_flag")
+      .as[(Long, Int, Int, Int, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2, 1, 2, 200L, "dup-heavy")))
+    assert(out(2L) == ((2L, 2, 0, 2, 200L, "short-line")))
+    assert(out(3L) == ((3L, 0, 0, 0, 0L, "ok"))) // empty doc: no flag fires
+    assert(out(4L) == ((4L, 2, 0, 0, 500L, "ok")))
+  }
 }
