@@ -117,20 +117,35 @@ object Bench {
   }
 
   /** Launch one CPU-pinned level JVM and parse its result line.
-    * Returns (docsWritten, timedSec, pinnedKernelRate).
+    * Returns (docsWritten, timedSec, pinnedKernelRate, pinnedBandwidthGBs).
     */
   private def forkLevel(level: Int, work: String, warmLimit: Int,
-      deadlineSec: Double): Option[(Long, Double, Double)] = {
+      deadlineSec: Double): Option[(Long, Double, Double, Double)] = {
     import scala.jdk.CollectionConverters._
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    // inherit the coordinator's flags EXCEPT heap sizing: the coordinator
+    // heap (24g Xms + AlwaysPreTouch) exists for the 32-thread query
+    // profile; a level child inheriting it spends MINUTES before main()
+    // when the hypervisor trickles fresh pages (observed ~30-100 MB/s page
+    // supply in throttled windows — 8 GC threads 100% busy pre-touching).
+    // Children therefore get a level-sized Xmx, a small initial heap, and
+    // NO AlwaysPreTouch: pages fault in lazily during the UNTIMED warmup
+    // pass, which touches exactly the working set the timed run needs.
+    val memMb = math.min(12288, 4096 + level * 256)
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+        a.startsWith("-Xmn") || a == "-XX:+AlwaysPreTouch") ++
+      Seq(s"-Xmx${memMb}m", "-Xms2048m", "-Xmn1024m")
     val cp = System.getProperty("java.class.path")
     val cmd = Seq("taskset", "-c", s"0-${level - 1}", javaBin) ++ jvmArgs ++
       Seq("-cp", cp, "graft.BenchLevel", level.toString, work, warmLimit.toString)
     System.err.println(s"[bench] fork cores=$level: ${cmd.take(5).mkString(" ")} … (${cmd.length} args, deadline ${deadlineSec.toInt}s)")
     val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectError(ProcessBuilder.Redirect.INHERIT) // child stderr -> our stderr
+    // child stderr to a per-level file: phase markers + Spark logs stay
+    // inspectable even when the child is killed at the deadline
+    val errFile = new java.io.File(s"$work/level$level.err")
+    pb.redirectError(ProcessBuilder.Redirect.appendTo(errFile))
     val p = pb.start()
     activeChild = p
     val out = new java.io.BufferedReader(new java.io.InputStreamReader(p.getInputStream))
@@ -148,12 +163,21 @@ object Bench {
     if (!done) { p.destroyForcibly(); p.waitFor() }
     reader.join(2000)
     System.err.println(s"[bench] fork cores=$level exited rc=${p.exitValue()} done=$done")
+    if (!done || p.exitValue() != 0) {
+      // surface the child's last phase markers for post-mortem
+      val tail = try {
+        scala.io.Source.fromFile(errFile).getLines().filter(l =>
+          l.startsWith("[level") || l.contains("Exception") || l.contains("Error")).toSeq.takeRight(8)
+      } catch { case _: Throwable => Seq.empty }
+      tail.foreach(l => System.err.println(s"[bench]   child: $l"))
+    }
     activeChild = null
     lines.synchronized {
       lines.reverseIterator.collectFirst {
         case l if l.startsWith("GRAFT_LEVEL_RESULT ") =>
           val parts = l.split(' ')
-          (parts(1).toLong, parts(2).toDouble, parts(3).toDouble)
+          (parts(1).toLong, parts(2).toDouble, parts(3).toDouble,
+            if (parts.length > 4) parts(4).toDouble else 0.0)
       }
     }
   }
@@ -218,6 +242,7 @@ object Bench {
     val allRuns = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val queryTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val kernel = scala.collection.mutable.Map.empty[Int, Double]
+    val bandwidth = scala.collection.mutable.Map.empty[Int, Double]
     var nInput = 0L
     var runsSkipped = 0
     var queriesSkipped = 0
@@ -232,6 +257,8 @@ object Bench {
       val totalSec = queryTimes.values.sum
       def kSpeedup(a: Int, b: Int): Option[Double] =
         for (ka <- kernel.get(a); kb <- kernel.get(b)) yield kb / ka
+      def bwSpeedup(a: Int, b: Int): Option[Double] =
+        for (ba <- bandwidth.get(a); bb <- bandwidth.get(b)) yield bb / ba
       def roundEffs(a: Int, b: Int): Seq[Double] =
         byRound.toSeq.filter(m => m.contains(a) && m.contains(b))
           .map(m => (m(a) / m(b)) / (b.toDouble / a))
@@ -241,10 +268,13 @@ object Bench {
           val speedup = r(b) / r(a) // best-of-per-level, conservative
           val eff = speedup / (b.toDouble / a)
           val ceil = kSpeedup(a, b)
+          val bwCeil = bwSpeedup(a, b)
           f"""{"cores":[$a,$b],"speedup":$speedup%.3f,"ideal":${b.toDouble / a}%.1f,"efficiency":$eff%.3f,""" +
             s""""per_round_efficiency":${roundEffs(a, b).map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
-            ceil.map(c => f""""kernel_ceiling_speedup":$c%.3f,"pipeline_vs_ceiling":${speedup / c}%.3f}""")
-              .getOrElse(""""kernel_ceiling_speedup":null,"pipeline_vs_ceiling":null}""")
+            ceil.map(c => f""""kernel_ceiling_speedup":$c%.3f,"pipeline_vs_ceiling":${speedup / c}%.3f,""")
+              .getOrElse(""""kernel_ceiling_speedup":null,"pipeline_vs_ceiling":null,""") +
+            bwCeil.map(c => f""""bandwidth_ceiling_speedup":$c%.3f,"pipeline_vs_bandwidth_ceiling":${speedup / c}%.3f}""")
+              .getOrElse(""""bandwidth_ceiling_speedup":null,"pipeline_vs_bandwidth_ceiling":null}""")
         }
       def levelJson(l: Int) =
         f""""cores$l":{"docs":${docsAt(l)},"sec":${best(l)}%.2f,"docs_per_sec":${r(l)}%.1f,""" +
@@ -262,11 +292,16 @@ object Bench {
             if (kernel.isEmpty) "null"
             else kernel.toSeq.sortBy(_._1)
               .map { case (t, v) => f""""threads$t":$v%.0f""" }.mkString("{", ",", "}")
+          val bwJson =
+            if (bandwidth.isEmpty) "null"
+            else bandwidth.toSeq.sortBy(_._1)
+              .map { case (t, v) => f""""threads$t":$v%.2f""" }.mkString("{", ",", "}")
           s"""{${best.keys.toSeq.sorted.map(levelJson).mkString(",")},""" +
             s""""efficiency":$effStr,""" +
             s""""headline_pair":$headPair,""" +
             s""""pair_2_8":${pairJson(2, 8)},"pair_8_32":${pairJson(8, 32)},""" +
             s""""kernel_docs_per_sec":$kernelJson,""" +
+            s""""bandwidth_gbps":$bwJson,""" +
             s""""isolation":"${if (doFork) "taskset-pinned JVM per level (GC/JIT/IO pools sized to the level)" else "in-process sessions"}",""" +
             s""""layout":"${if (BenchCore.bucketed) s"bucketed(${BenchCore.Buckets}) zero-exchange state join" else "plain parquet"}",""" +
             s""""aggregation":"best-of-${byRound.length}-interleaved-rounds-per-level incl. bonus 8/2 pairs (host throttles in multi-minute windows; per-round ratios published)"}"""
@@ -324,14 +359,14 @@ object Bench {
               spark = session(level)
               val r = try {
                 val (n, t) = BenchCore.runPipelineOnce(spark, work, s"$work/out$level", level)
-                Some((n, t, 0.0))
+                Some((n, t, 0.0, 0.0))
               } catch { case _: Throwable => None }
               spark.stop()
               r
             }
           result match {
-            case Some((n, t, kr)) =>
-              System.err.println(f"[bench] round=${roundIdx + 1} cores=$level%2d sec=$t%7.2f pinned_kernel=$kr%.0f")
+            case Some((n, t, kr, bw)) =>
+              System.err.println(f"[bench] round=${roundIdx + 1} cores=$level%2d sec=$t%7.2f pinned_kernel=$kr%.0f pinned_bw_gbps=$bw%.1f")
               allRuns += ((level, t))
               while (byRound.length <= roundIdx)
                 byRound += scala.collection.mutable.Map.empty[Int, Double]
@@ -339,6 +374,7 @@ object Bench {
               docsAt(level) = n
               best(level) = math.min(best.getOrElse(level, Double.MaxValue), t)
               if (kr > 0) kernel(level) = math.max(kernel.getOrElse(level, 0.0), kr)
+              if (bw > 0) bandwidth(level) = math.max(bandwidth.getOrElse(level, 0.0), bw)
             case None =>
               runsSkipped += 1
               System.err.println(s"[bench] ABORTED round=${roundIdx + 1} cores=$level")
@@ -352,6 +388,7 @@ object Bench {
       // in-process mode has no pinned per-level kernels: probe once here
       if (!doFork && !cutoff && remaining > 90 + FinalReserveSec) {
         kernel ++= BenchCore.kernelProbe(levels.sorted)
+        bandwidth ++= BenchCore.bandwidthProbe(levels.sorted)
         emitPartial()
       }
 
@@ -400,10 +437,14 @@ object Bench {
       val ceil = for (a <- kernel.get(2); b <- kernel.get(8)) yield b / a
       val vsCeil = ceil.filter(_ => r.contains(2) && r.contains(8))
         .map(c => f"${(r(8) / r(2)) / c}%.3f").getOrElse("null")
+      val bwCeil = for (a <- bandwidth.get(2); b <- bandwidth.get(8)) yield b / a
+      val vsBwCeil = bwCeil.filter(_ => r.contains(2) && r.contains(8))
+        .map(c => f"${(r(8) / r(2)) / c}%.3f").getOrElse("null")
       val rates = r.toSeq.sorted.map { case (l, v) => f""""$l":$v%.1f""" }.mkString("{", ",", "}")
       val secs = best.toSeq.sorted.map { case (l, v) => f""""$l":$v%.1f""" }.mkString("{", ",", "}")
       f"""{"metric":"docs_per_sec_end_to_end","value":${r.getOrElse(32, if (r.nonEmpty) r(r.keys.max) else 0.0)}%.1f,"unit":"docs/sec","sf":"$sfDir","input_docs":$nInput,""" +
         s""""scaling_efficiency_2_8":$eff,"speedup_2_8":$spd,"ideal_2_8":4.0,"pipeline_vs_host_ceiling_2_8":$vsCeil,""" +
+        s""""bandwidth_ceiling_speedup_2_8":${bwCeil.map(c => f"$c%.3f").getOrElse("null")},"pipeline_vs_bandwidth_ceiling_2_8":$vsBwCeil,""" +
         s""""docs_per_sec":$rates,"best_sec":$secs,""" +
         f""""total_query_sec":${queryTimes.values.sum}%.1f,"status":"$status","runs_skipped":$runsSkipped,"queries_skipped":$queriesSkipped}"""
     }

@@ -145,6 +145,56 @@ private[graft] object BenchCore {
     out.toMap
   }
 
+  /** 256 MiB shared read array for the bandwidth probe (far beyond LLC, so
+    * every pass streams from DRAM). Allocated lazily — only probe runs pay.
+    */
+  private lazy val bwArr: Array[Long] = Array.tabulate(1 << 25)(i => i.toLong)
+
+  /** Memory-bandwidth scaling probe (GB/s at each thread count). The kernel
+    * probe above is cache-resident and measures the host's CPU ceiling; the
+    * pipeline STREAMS parquet bytes, so on a bandwidth-contended host its
+    * scaling ceiling is the DRAM-bandwidth ratio, not the CPU ratio. Both
+    * are published so the pipeline's pair efficiency can be judged against
+    * the ceiling that actually binds. Time-quota design as kernelProbe.
+    */
+  def bandwidthProbe(threads: Seq[Int], quotaSec: Double = 2.0, draws: Int = 2): Map[Int, Double] = {
+    val arr = bwArr
+    val sink = new java.util.concurrent.atomic.AtomicLong(0)
+    def run(t: Int): Double = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(t)
+      val deadline = System.nanoTime() + (quotaSec * 1e9).toLong
+      val t0 = System.nanoTime()
+      val tasks = (0 until t).map { k =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            var bytes = 0L
+            var i = (arr.length.toLong * k / t).toInt
+            var sum = 0L
+            while (System.nanoTime() < deadline) {
+              var j = 0
+              while (j < (1 << 20)) {
+                sum += arr(i)
+                i += 1; if (i >= arr.length) i = 0
+                j += 1
+              }
+              bytes += (1L << 20) * 8
+            }
+            sink.addAndGet(sum) // defeat dead-code elimination
+            bytes
+          }
+        })
+      }
+      val total = tasks.map(_.get().longValue).sum
+      pool.shutdown()
+      total / ((System.nanoTime() - t0) / 1e9) / 1e9
+    }
+    run(threads.head) // JIT + page-touch warmup
+    val out = scala.collection.mutable.Map.empty[Int, Double]
+    for (_ <- 1 to draws; t <- threads)
+      out(t) = math.max(out.getOrElse(t, 0.0), run(t))
+    out.toMap
+  }
+
   def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
     f.delete(): Unit
@@ -166,14 +216,21 @@ object BenchLevel {
     val cores = args(0).toInt
     val work = args(1)
     val warmLimit = args(2).toInt
+    System.err.println(s"[level $cores] JVM up, building session")
     val spark = BenchCore.session(cores)
+    System.err.println(s"[level $cores] session up, registering tables")
     BenchCore.registerTables(spark, work)
+    System.err.println(s"[level $cores] tables registered, warmup")
     // untimed JIT warmup on a bounded slice (cold JVM: codegen + kernel)
     BenchCore.runPipelineOnce(spark, work, s"$work/warm$cores", cores, Some(warmLimit))
+    System.err.println(s"[level $cores] warmup done, timed run")
     val (n, sec) = BenchCore.runPipelineOnce(spark, work, s"$work/out$cores", cores)
-    // pinned kernel ceiling for this level (same CPU set, sized pools)
+    System.err.println(s"[level $cores] timed run done ($sec s), probes")
+    // pinned ceilings for this level (same CPU set, sized pools): CPU-bound
+    // kernel rate and DRAM-bandwidth rate
     val kernelRate = BenchCore.kernelProbe(Seq(cores), quotaSec = 3.0).getOrElse(cores, 0.0)
-    println(f"GRAFT_LEVEL_RESULT $n $sec%.3f $kernelRate%.1f")
+    val bwRate = BenchCore.bandwidthProbe(Seq(cores)).getOrElse(cores, 0.0)
+    println(f"GRAFT_LEVEL_RESULT $n $sec%.3f $kernelRate%.1f $bwRate%.2f")
     System.out.flush()
     spark.stop()
   }
