@@ -73,9 +73,24 @@ object Bench {
     * times with distinct ids; ~1/997 docs are mega-docs (text x100) to
     * exercise the skew path. Written as bucketed tables (the production
     * layout) unless SPARK_GRAFT_BENCH_BUCKETED=0.
+    *
+    * The input is CACHED across bench invocations (a marker file pins the
+    * generation parameters): it is deterministic, and rebuilding it cost
+    * ~200 s of the wall budget per run. Bump the version tag when the
+    * synthesis logic changes.
     */
   private def writeInput(spark: SparkSession, sfDir: String, repl: Int, path: String): Long = {
     import spark.implicits._
+    val markerTag = s"graft-bench-input v3 sf=$sfDir repl=$repl bucketed=${BenchCore.bucketed}"
+    val marker = new java.io.File(s"$path/input.marker")
+    if (marker.exists() &&
+        scala.io.Source.fromFile(marker).mkString.trim == markerTag) {
+      System.err.println("[bench] reusing cached amplified input")
+      if (BenchCore.bucketed) {
+        BenchCore.registerTables(spark, path)
+        return spark.table("graft_bench_input").count()
+      } else return spark.read.parquet(s"$path/input").count()
+    }
     // base texts are tiny (~1.5 MB) -> broadcast them and synthesize the
     // amplified corpus from spark.range with NO shuffle beyond the bucket
     // alignment below (untimed either way)
@@ -95,7 +110,7 @@ object Bench {
       val bid = baseB.value((i % nBase).toInt)._1
       Synth.prevState(bid + (i / nBase) * 1000000L)
     }.toDF()
-    if (BenchCore.bucketed) {
+    val n = if (BenchCore.bucketed) {
       // repartition on the bucket column with numPartitions == numBuckets:
       // the writer's bucket hash is the same murmur3 hash, so every task
       // holds exactly one bucket -> ONE file per bucket (a raw bucketBy from
@@ -114,6 +129,9 @@ object Bench {
       prev.write.mode(SaveMode.Overwrite).parquet(s"$path/prev")
       spark.read.parquet(s"$path/input").count()
     }
+    val w = new java.io.PrintWriter(marker)
+    try w.print(markerTag) finally w.close()
+    n
   }
 
   /** Launch one CPU-pinned level JVM and parse its result line.
@@ -136,9 +154,16 @@ object Bench {
       .getInputArguments.asScala.toSeq
       .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms") ||
         a.startsWith("-Xmn") || a == "-XX:+AlwaysPreTouch") ++
-      Seq(s"-Xmx${memMb}m", "-Xms2048m", "-Xmn1024m")
+      Seq(s"-Xmx${memMb}m", "-Xms2048m", "-Xmn1024m",
+        // thread pools (GC, JIT, netty, availableProcessors) sized to the
+        // level from birth — but the JVM is NOT physically pinned yet:
+        // Spark session init + JIT warmup run at full host speed (a 2-core
+        // pinned child spent ~10 min there under hypervisor page
+        // throttling). BenchLevel self-pins via `taskset -apc` right
+        // before its timed region, so the measurement still sees N cores.
+        s"-XX:ActiveProcessorCount=$level")
     val cp = System.getProperty("java.class.path")
-    val cmd = Seq("taskset", "-c", s"0-${level - 1}", javaBin) ++ jvmArgs ++
+    val cmd = Seq(javaBin) ++ jvmArgs ++
       Seq("-cp", cp, "graft.BenchLevel", level.toString, work, warmLimit.toString)
     System.err.println(s"[bench] fork cores=$level: ${cmd.take(5).mkString(" ")} … (${cmd.length} args, deadline ${deadlineSec.toInt}s)")
     val pb = new ProcessBuilder(cmd: _*)
@@ -201,10 +226,13 @@ object Bench {
     // systematically calmer after a short 8-core run
     val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "8,2,32")
       .split(",").map(_.trim.toInt).toSeq
-    val warmLimit = math.max(20000, 60000 * repl / 720)
+    // JIT warmup needs code-path coverage, not volume: 24k docs compile the
+    // whole pipeline; a bigger slice only burns 2-core wall time
+    val warmLimit = math.max(12000, 24000 * repl / 720)
     val work = {
+      // NOT wiped on entry: the amplified input is content-addressed by
+      // its marker file and reused across invocations (writeInput)
       val d = java.nio.file.Paths.get(BenchCore.fastDir("graft-bench"))
-      BenchCore.deleteRec(d.toFile)
       java.nio.file.Files.createDirectories(d)
       d.toString
     }
@@ -452,7 +480,12 @@ object Bench {
     System.out.flush()
     finalPrinted = true
     spark.stop()
-    BenchCore.deleteRec(new java.io.File(work))
+    // drop transient run outputs; KEEP input/prev + marker for reuse
+    Option(new java.io.File(work).listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith("out") || f.getName.startsWith("warm") ||
+          f.getName.startsWith("settle") || f.getName.startsWith("warmup"))
+        BenchCore.deleteRec(f)
+    })
     BenchCore.deleteRec(new java.io.File(BenchCore.fastDir("graft-spark-local")))
   }
 }

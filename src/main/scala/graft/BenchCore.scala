@@ -213,19 +213,35 @@ private[graft] object BenchCore {
   */
 object BenchLevel {
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def mark(msg: String): Unit =
+      System.err.println(f"[level ${args(0)}] +${(System.nanoTime() - t0) / 1e9}%.0fs $msg")
     val cores = args(0).toInt
     val work = args(1)
     val warmLimit = args(2).toInt
-    System.err.println(s"[level $cores] JVM up, building session")
+    mark("JVM up, building session")
     val spark = BenchCore.session(cores)
-    System.err.println(s"[level $cores] session up, registering tables")
+    mark("session up, registering tables")
     BenchCore.registerTables(spark, work)
-    System.err.println(s"[level $cores] tables registered, warmup")
-    // untimed JIT warmup on a bounded slice (cold JVM: codegen + kernel)
+    mark("tables registered, warmup")
+    // untimed JIT warmup on a bounded slice (cold JVM: codegen + kernel),
+    // still UNPINNED — warmup compiles the same code the timed run uses,
+    // and running it on the full host keeps fork overhead low
     BenchCore.runPipelineOnce(spark, work, s"$work/warm$cores", cores, Some(warmLimit))
-    System.err.println(s"[level $cores] warmup done, timed run")
+    mark(s"warmup done, pinning to 0-${cores - 1}")
+    // physically pin the WHOLE JVM (all threads) to the level's cores for
+    // the measured region; pool sizes were right from birth via
+    // -XX:ActiveProcessorCount, so this only takes the hardware away
+    val pid = ProcessHandle.current().pid.toString
+    new ProcessBuilder("taskset", "-apc", s"0-${cores - 1}", pid)
+      .redirectErrorStream(true).redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      .start().waitFor()
+    // short pinned settle pass: lets in-flight background C2 compilation
+    // drain off the measured cores before t0
+    BenchCore.runPipelineOnce(spark, work, s"$work/settle$cores", cores, Some(warmLimit / 4))
+    mark("pinned settle done, timed run")
     val (n, sec) = BenchCore.runPipelineOnce(spark, work, s"$work/out$cores", cores)
-    System.err.println(s"[level $cores] timed run done ($sec s), probes")
+    mark(f"timed run done ($sec%.1f s), probes")
     // pinned ceilings for this level (same CPU set, sized pools): CPU-bound
     // kernel rate and DRAM-bandwidth rate
     val kernelRate = BenchCore.kernelProbe(Seq(cores), quotaSec = 3.0).getOrElse(cores, 0.0)
