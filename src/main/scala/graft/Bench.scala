@@ -81,7 +81,7 @@ object Bench {
     */
   private def writeInput(spark: SparkSession, sfDir: String, repl: Int, path: String): Long = {
     import spark.implicits._
-    val markerTag = s"graft-bench-input v3 sf=$sfDir repl=$repl bucketed=${BenchCore.bucketed}"
+    val markerTag = s"graft-bench-input v4 sf=$sfDir repl=$repl bucketed=${BenchCore.bucketed}"
     val marker = new java.io.File(s"$path/input.marker")
     if (marker.exists() &&
         scala.io.Source.fromFile(marker).mkString.trim == markerTag) {
@@ -99,36 +99,41 @@ object Bench {
       .as[(Long, String, String)].collect().sortBy(_._1)
     val nBase = baseRows.length
     val baseB = spark.sparkContext.broadcast(baseRows)
-    val ids = spark.range(0L, nBase.toLong * repl, 1L, 256)
-    val docs = ids.map { i =>
-      val (bid, text, source) = baseB.value((i % nBase).toInt)
-      val id = bid + (i / nBase) * 1000000L
-      val t = if (id % 997 == 0) (text + " ") * 100 else text // mega-doc tail
-      Synth.checkerDoc(id, t, source)
-    }.toDF()
-    val prev = ids.flatMap { i =>
-      val bid = baseB.value((i % nBase).toInt)._1
-      Synth.prevState(bid + (i / nBase) * 1000000L)
-    }.toDF()
-    val n = if (BenchCore.bucketed) {
-      // repartition on the bucket column with numPartitions == numBuckets:
-      // the writer's bucket hash is the same murmur3 hash, so every task
-      // holds exactly one bucket -> ONE file per bucket (a raw bucketBy from
-      // 256 partitions would write up to 256 files per bucket, and a
-      // multi-file bucket loses the sorted-scan property)
-      for ((df, name, sub) <- Seq((docs, "graft_bench_input", "input"),
-          (prev, "graft_bench_prev", "prev"))) {
-        df.repartition(BenchCore.Buckets, col("doc_id"))
-          .write.bucketBy(BenchCore.Buckets, "doc_id").sortBy("doc_id")
-          .option("path", s"$path/$sub")
-          .mode(SaveMode.Overwrite).saveAsTable(name)
+    // main pair at `repl` replicas + a 1/100-scale warm pair with the same
+    // layout (same first replicas — every format / mega-doc / checker path
+    // appears): the forked level JVMs JIT-warm on it (BenchCore notes why)
+    for ((r, pre) <- Seq((repl, ""), (math.max(1, repl / 100), "warm_"))) {
+      val ids = spark.range(0L, nBase.toLong * r, 1L, 256)
+      val docs = ids.map { i =>
+        val (bid, text, source) = baseB.value((i % nBase).toInt)
+        val id = bid + (i / nBase) * 1000000L
+        val t = if (id % 997 == 0) (text + " ") * 100 else text // mega-doc tail
+        Synth.checkerDoc(id, t, source)
+      }.toDF()
+      val prev = ids.flatMap { i =>
+        val bid = baseB.value((i % nBase).toInt)._1
+        Synth.prevState(bid + (i / nBase) * 1000000L)
+      }.toDF()
+      if (BenchCore.bucketed) {
+        // repartition on the bucket column with numPartitions == numBuckets:
+        // the writer's bucket hash is the same murmur3 hash, so every task
+        // holds exactly one bucket -> ONE file per bucket (a raw bucketBy from
+        // 256 partitions would write up to 256 files per bucket, and a
+        // multi-file bucket loses the sorted-scan property)
+        for ((df, sub) <- Seq((docs, s"${pre}input"), (prev, s"${pre}prev"))) {
+          df.repartition(BenchCore.Buckets, col("doc_id"))
+            .write.bucketBy(BenchCore.Buckets, "doc_id").sortBy("doc_id")
+            .option("path", s"$path/$sub")
+            .mode(SaveMode.Overwrite).saveAsTable(s"graft_bench_$sub")
+        }
+      } else {
+        docs.write.mode(SaveMode.Overwrite).parquet(s"$path/${pre}input")
+        prev.write.mode(SaveMode.Overwrite).parquet(s"$path/${pre}prev")
       }
-      spark.table("graft_bench_input").count()
-    } else {
-      docs.write.mode(SaveMode.Overwrite).parquet(s"$path/input")
-      prev.write.mode(SaveMode.Overwrite).parquet(s"$path/prev")
-      spark.read.parquet(s"$path/input").count()
     }
+    val n =
+      if (BenchCore.bucketed) spark.table("graft_bench_input").count()
+      else spark.read.parquet(s"$path/input").count()
     val w = new java.io.PrintWriter(marker)
     try w.print(markerTag) finally w.close()
     n
@@ -137,7 +142,7 @@ object Bench {
   /** Launch one CPU-pinned level JVM and parse its result line.
     * Returns (docsWritten, timedSec, pinnedKernelRate, pinnedBandwidthGBs).
     */
-  private def forkLevel(level: Int, work: String, warmLimit: Int,
+  private def forkLevel(level: Int, work: String,
       deadlineSec: Double): Option[(Long, Double, Double, Double)] = {
     import scala.jdk.CollectionConverters._
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
@@ -164,7 +169,7 @@ object Bench {
         s"-XX:ActiveProcessorCount=$level")
     val cp = System.getProperty("java.class.path")
     val cmd = Seq(javaBin) ++ jvmArgs ++
-      Seq("-cp", cp, "graft.BenchLevel", level.toString, work, warmLimit.toString)
+      Seq("-cp", cp, "graft.BenchLevel", level.toString, work)
     System.err.println(s"[bench] fork cores=$level: ${cmd.take(5).mkString(" ")} … (${cmd.length} args, deadline ${deadlineSec.toInt}s)")
     val pb = new ProcessBuilder(cmd: _*)
     // child stderr to a per-level file: phase markers + Spark logs stay
@@ -226,9 +231,6 @@ object Bench {
     // systematically calmer after a short 8-core run
     val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "8,2,32")
       .split(",").map(_.trim.toInt).toSeq
-    // JIT warmup needs code-path coverage, not volume: 24k docs compile the
-    // whole pipeline; a bigger slice only burns 2-core wall time
-    val warmLimit = math.max(12000, 24000 * repl / 720)
     val work = {
       // NOT wiped on entry: the amplified input is content-addressed by
       // its marker file and reused across invocations (writeInput)
@@ -343,6 +345,19 @@ object Bench {
       System.err.println("[bench-partial] " + latestJson)
     }
 
+    // per-query timings over the UNAMPLIFIED sf dir (regression profile for
+    // the 33 oracle queries; budget-checked per query)
+    def runQueryProfile(s: SparkSession): Unit =
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+        if (cutoff || remaining < 15 + FinalReserveSec) queriesSkipped += 1
+        else {
+          val tq = System.nanoTime()
+          try { fn(s, sfDir).count(): Unit }
+          catch { case _: Throwable => () }
+          queryTimes(name) = (System.nanoTime() - tq) / 1e9
+        }
+      }
+
     // ---- input materialization (untimed; identical for all runs)
     var spark = session(cpus)
     nInput = writeInput(spark, sfDir, repl, work)
@@ -382,7 +397,7 @@ object Bench {
         } else {
           val result =
             if (doFork)
-              forkLevel(level, work, warmLimit, remaining - FinalReserveSec)
+              forkLevel(level, work, remaining - FinalReserveSec)
             else {
               spark = session(level)
               val r = try {
@@ -410,7 +425,23 @@ object Bench {
           emitPartial()
         }
       }
-      for (round <- 1 to rounds; level <- levels)
+      // ROUND 1 covers all levels first: one sample of the whole scaling
+      // profile before anything optional spends budget
+      for (level <- levels)
+        timedRun(0, level, FinalReserveSec)
+
+      // ---- per-query profile immediately after round 1: on a throttled
+      // day (round-3 driver run) extra scaling rounds ate the whole budget
+      // and the profile was starved — it now outranks rounds 2+ and the
+      // bonus pairs, costing ~60-160 s once per bench
+      if (!cutoff && remaining > 60 + FinalReserveSec) {
+        spark = session(cpus)
+        runQueryProfile(spark)
+        spark.stop()
+        emitPartial()
+      } else queriesSkipped += SparkEntry.queries.size
+
+      for (round <- 2 to rounds; level <- levels)
         timedRun(round - 1, level, FinalReserveSec)
 
       // in-process mode has no pinned per-level kernels: probe once here
@@ -423,34 +454,21 @@ object Bench {
       // bonus rounds on the HEADLINE pair: leftover budget buys extra
       // interleaved 8/2 samples — best-of-per-level converges on the calm
       // time only if both levels catch a calm window, and the gate pair
-      // deserves the extra draws more than anything else does. A reserve
-      // keeps the per-query profile (~50-120 s) affordable.
-      val queryReserve = 130.0
+      // deserves the extra draws more than anything else does.
       var bonusRound = rounds
       while (!cutoff && bonusRound < rounds + 6 &&
-          remaining > (estimate(8) + estimate(2)) * 1.4 + 2 * overhead + queryReserve + FinalReserveSec) {
-        timedRun(bonusRound, 8, queryReserve + FinalReserveSec)
-        timedRun(bonusRound, 2, queryReserve + FinalReserveSec)
+          remaining > (estimate(8) + estimate(2)) * 1.4 + 2 * overhead + FinalReserveSec) {
+        timedRun(bonusRound, 8, FinalReserveSec)
+        timedRun(bonusRound, 2, FinalReserveSec)
         bonusRound += 1
       }
-      spark = session(cpus)
     } else if (!doScaling && !cutoff) {
       try {
         val (n, t) = BenchCore.runPipelineOnce(spark, work, s"$work/out", cpus)
         docsAt(cpus) = n
         best(cpus) = t
       } catch { case _: Throwable => runsSkipped += 1 }
-    }
-
-    // ---- per-query timings at the env-cpus session
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      if (cutoff || remaining < 15 + FinalReserveSec) queriesSkipped += 1
-      else {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(): Unit }
-        catch { case _: Throwable => () }
-        queryTimes(name) = (System.nanoTime() - t0) / 1e9
-      }
+      runQueryProfile(spark)
     }
 
     status = if (runsSkipped + queriesSkipped > 0) "partial" else "complete"
@@ -480,10 +498,13 @@ object Bench {
     System.out.flush()
     finalPrinted = true
     spark.stop()
-    // drop transient run outputs; KEEP input/prev + marker for reuse
+    // drop transient run outputs; KEEP the four cached tables (input, prev,
+    // warm_input, warm_prev) + marker for reuse. "warm\d+"/"settle\d+" are
+    // legacy per-level warmup output names from the pre-v4 cache layout.
     Option(new java.io.File(work).listFiles()).foreach(_.foreach { f =>
-      if (f.getName.startsWith("out") || f.getName.startsWith("warm") ||
-          f.getName.startsWith("settle") || f.getName.startsWith("warmup"))
+      val n = f.getName
+      if (n.startsWith("out") || n.startsWith("wout") || n.startsWith("sout") ||
+          n.startsWith("warmup") || n.matches("(warm|settle)\\d+"))
         BenchCore.deleteRec(f)
     })
     BenchCore.deleteRec(new java.io.File(BenchCore.fastDir("graft-spark-local")))

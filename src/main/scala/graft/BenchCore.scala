@@ -61,12 +61,34 @@ private[graft] object BenchCore {
   /** Re-register the bucketed tables in a fresh session's in-memory catalog
     * (the warehouse data survives sessions and JVMs; the catalog entries do
     * not — a production deployment gets this from the real table catalog).
-    * The DDL is derived from the parquet files themselves, so any JVM can
-    * register without out-of-band schema transfer.
+    * The DDL is derived from the parquet files themselves and cached next to
+    * the data (`<sub>.ddl`): schema inference over 128 bucket files cost each
+    * forked level JVM tens of seconds of its untimed setup; any JVM can still
+    * register without the cache, just slower.
     */
+  /** (table name, subdirectory) for the four bench tables: the full
+    * amplified pair plus the ~1/100-scale warm pair with the IDENTICAL
+    * bucketed layout (the JIT warmup runs the same zero-exchange plan the
+    * timed run uses, but decodes 1/100 of the bytes — the full input has one
+    * row group per bucket file, so no predicate can prune the decode).
+    */
+  val tables: Seq[(String, String)] = Seq(
+    ("graft_bench_input", "input"), ("graft_bench_prev", "prev"),
+    ("graft_bench_warm_input", "warm_input"), ("graft_bench_warm_prev", "warm_prev"))
+
   def registerTables(spark: SparkSession, path: String): Unit = if (bucketed) {
-    for ((name, sub) <- Seq(("graft_bench_input", "input"), ("graft_bench_prev", "prev"))) {
-      val ddl = spark.read.parquet(s"$path/$sub").schema.toDDL
+    for ((name, sub) <- tables) {
+      val ddlFile = new java.io.File(s"$path/$sub.ddl")
+      val ddl =
+        if (ddlFile.isFile) {
+          val src = scala.io.Source.fromFile(ddlFile)
+          try src.mkString.trim finally src.close()
+        } else {
+          val d = spark.read.parquet(s"$path/$sub").schema.toDDL
+          val w = new java.io.PrintWriter(ddlFile)
+          try w.print(d) finally w.close()
+          d
+        }
       spark.sql(s"DROP TABLE IF EXISTS $name")
       spark.sql(
         s"""CREATE TABLE $name ($ddl) USING parquet
@@ -79,15 +101,22 @@ private[graft] object BenchCore {
     * region covers the pipeline (scan -> join -> extract -> sink); the
     * catalog-metadata step (table registration, file listing, schema read)
     * happens before t0 — a production job gets all three from the table
-    * catalog, not per-query. `limit` bounds the input (used for the
-    * untimed JIT warmup pass in a cold per-level JVM).
+    * catalog, not per-query. `warm = true` runs over the 1/100-scale warm
+    * table pair instead (untimed JIT warmup in a cold level JVM). Three
+    * bounded-warmup designs failed before it: `limit()` plans a GlobalLimit
+    * that coalesces to one partition (24k docs ran single-threaded, ~270 s);
+    * `pmod(hash(doc_id), d) === 0` cannot push down, so it scanned the full
+    * 3.6 M-doc input (~150 s per fork); a `doc_id < cutoff` range predicate
+    * pushes down but prunes nothing because every bucket file is a single
+    * row group. A same-layout small table pair decodes 1/100 of the bytes
+    * while compiling the identical zero-exchange bucketed-join plan.
     */
   def runPipelineOnce(spark: SparkSession, path: String, outPath: String,
-      parts: Int, limit: Option[Int] = None): (Long, Double) = {
-    val (input0, prev) =
-      if (bucketed) (spark.table("graft_bench_input"), spark.table("graft_bench_prev"))
-      else (spark.read.parquet(s"$path/input"), spark.read.parquet(s"$path/prev"))
-    val input = limit.map(input0.limit).getOrElse(input0)
+      parts: Int, warm: Boolean = false): (Long, Double) = {
+    val pre = if (warm) "warm_" else ""
+    val (input, prev) =
+      if (bucketed) (spark.table(s"graft_bench_${pre}input"), spark.table(s"graft_bench_${pre}prev"))
+      else (spark.read.parquet(s"$path/${pre}input"), spark.read.parquet(s"$path/${pre}prev"))
     input.queryExecution.analyzed // force listing+schema resolution pre-t0
     prev.queryExecution.analyzed
     val t0 = System.nanoTime()
@@ -208,8 +237,8 @@ private[graft] object BenchCore {
   * GC and compiler work on 30 idle cores — inflating the 2-core rate and
   * understating the measured 2->8 scaling.
   *
-  * args: <cores> <workPath> <warmLimitDocs>
-  * stdout: `GRAFT_LEVEL_RESULT <docsWritten> <seconds> <kernelDocsPerSec>`
+  * args: <cores> <workPath>
+  * stdout: `GRAFT_LEVEL_RESULT <docsWritten> <seconds> <kernelDocsPerSec> <bandwidthGBs>`
   */
 object BenchLevel {
   def main(args: Array[String]): Unit = {
@@ -218,7 +247,6 @@ object BenchLevel {
       System.err.println(f"[level ${args(0)}] +${(System.nanoTime() - t0) / 1e9}%.0fs $msg")
     val cores = args(0).toInt
     val work = args(1)
-    val warmLimit = args(2).toInt
     mark("JVM up, building session")
     val spark = BenchCore.session(cores)
     mark("session up, registering tables")
@@ -227,7 +255,7 @@ object BenchLevel {
     // untimed JIT warmup on a bounded slice (cold JVM: codegen + kernel),
     // still UNPINNED — warmup compiles the same code the timed run uses,
     // and running it on the full host keeps fork overhead low
-    BenchCore.runPipelineOnce(spark, work, s"$work/warm$cores", cores, Some(warmLimit))
+    BenchCore.runPipelineOnce(spark, work, s"$work/wout$cores", cores, warm = true)
     mark(s"warmup done, pinning to 0-${cores - 1}")
     // physically pin the WHOLE JVM (all threads) to the level's cores for
     // the measured region; pool sizes were right from birth via
@@ -238,7 +266,7 @@ object BenchLevel {
       .start().waitFor()
     // short pinned settle pass: lets in-flight background C2 compilation
     // drain off the measured cores before t0
-    BenchCore.runPipelineOnce(spark, work, s"$work/settle$cores", cores, Some(warmLimit / 4))
+    BenchCore.runPipelineOnce(spark, work, s"$work/sout$cores", cores, warm = true)
     mark("pinned settle done, timed run")
     val (n, sec) = BenchCore.runPipelineOnce(spark, work, s"$work/out$cores", cores)
     mark(f"timed run done ($sec%.1f s), probes")

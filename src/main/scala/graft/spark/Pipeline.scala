@@ -102,6 +102,16 @@ object Pipeline {
     * stay narrow in their scan partitions. Use [[saltByCost]] after KEYED
     * shuffles (count-balanced, not byte-balanced) where placement of every
     * row matters.
+    *
+    * COST CAVEAT: both salt operators are a union of two filters over the
+    * same child, and with no Exchange boundary in the child there is nothing
+    * for ReuseExchange to deduplicate — the child plan (scan, and in
+    * [[run]]'s case the whole checker join) EXECUTES TWICE. That is the
+    * right trade only when heavy rows exist and their placement dominates;
+    * when the input is a byte-split scan (every task already holds ≤
+    * maxPartitionBytes of payload, so per-task cost is bounded by
+    * construction), it buys nothing — which is why [[run]] defaults to
+    * `salt = "none"`.
     */
   def saltHeavyOnly(df: DataFrame, numPartitions: Int, budgetBytes: Long): DataFrame = {
     val cost = Checker.spanCost(col("spans"))
@@ -216,17 +226,31 @@ object Pipeline {
     }
   }
 
-  /** Full batch run: classify -> filter -> recover-or-extract -> salted
-    * extraction. `prevExtracted` (the previous output snapshot) serves
-    * FORCE_TO_SEND recovery (adsft/extraction.py:1212-1220): recovered rows
-    * are passed through without re-extraction when prior fulltext exists.
+  /** Full batch run: classify -> filter -> recover-or-extract -> extraction.
+    * `prevExtracted` (the previous output snapshot) serves FORCE_TO_SEND
+    * recovery (adsft/extraction.py:1212-1220): recovered rows are passed
+    * through without re-extraction when prior fulltext exists.
+    *
+    * `salt` picks the skew strategy for the extract stage:
+    *   - "none" (default): no re-shuffle. The input is a byte-split scan
+    *     (parquet/Iceberg tasks hold ≤ maxPartitionBytes of payload; a row
+    *     too large to share a split gets a task to itself) and extraction
+    *     cost is ~linear in payload bytes, so per-task cost is bounded by
+    *     the scan itself — re-shuffling would move every payload byte to
+    *     improve nothing, and the union-of-filters salt operators execute
+    *     the scan+join subtree twice (see [[saltHeavyOnly]]'s cost caveat).
+    *   - "heavy": isolate docs above `budgetBytes` onto their own hash
+    *     range ([[saltHeavyOnly]]) — for inputs whose SPLITS are count-
+    *     balanced rather than byte-balanced (e.g. a row-limit-split source).
+    *   - "all": full cost-based repartition ([[saltByCost]]) — after keyed
+    *     shuffles where every row's placement matters.
     */
   def run(spark: SparkSession, input: DataFrame, prevState: DataFrame,
       prevExtracted: Option[DataFrame], indexDate: java.sql.Timestamp,
       runId: String, numPartitions: Int = 32,
       budgetBytes: Long = 4L << 20,
       metrics: Option[Metrics] = None,
-      saltAll: Boolean = false): Dataset[ExtractedDoc] = {
+      salt: String = "none"): Dataset[ExtractedDoc] = {
     import spark.implicits._
 
     val checked = Checker.filterNeedsUpdate(Checker.classify(input, prevState))
@@ -251,9 +275,11 @@ object Pipeline {
       case None => (checked, None)
     }
 
-    val salted =
-      if (saltAll) saltByCost(toExtract, numPartitions, budgetBytes)
-      else saltHeavyOnly(toExtract, numPartitions, budgetBytes)
+    val salted = salt match {
+      case "all" => saltByCost(toExtract, numPartitions, budgetBytes)
+      case "heavy" => saltHeavyOnly(toExtract, numPartitions, budgetBytes)
+      case _ => toExtract
+    }
     val extracted = extractStageNative(salted, indexDate, runId).as[ExtractedDoc]
     recovered.map(extracted.unionAll).getOrElse(extracted)
   }
