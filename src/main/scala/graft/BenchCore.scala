@@ -237,8 +237,17 @@ private[graft] object BenchCore {
   * GC and compiler work on 30 idle cores — inflating the 2-core rate and
   * understating the measured 2->8 scaling.
   *
-  * args: <cores> <workPath>
-  * stdout: `GRAFT_LEVEL_RESULT <docsWritten> <seconds> <kernelDocsPerSec> <bandwidthGBs>`
+  * args: <cores> <workPath> [pinBase] [mode]
+  *   pinBase — first CPU of the pinned range (default 0); lets two level
+  *   JVMs run simultaneously on DISJOINT core sets (paired-draw protocol).
+  *   mode "loop" — instead of one timed run, repeat timed runs until killed,
+  *   emitting one GRAFT_LEVEL_RUN line each (no probes, no RESULT).
+  *
+  * stdout (mode once):
+  *   `GRAFT_LEVEL_REGION <epochStartMs> <epochEndMs>`
+  *   `GRAFT_LEVEL_RESULT <docsWritten> <seconds> <kernelDocsPerSec> <bandwidthGBs>`
+  * stdout (mode loop), per iteration:
+  *   `GRAFT_LEVEL_RUN <epochStartMs> <epochEndMs> <docsWritten> <seconds>`
   */
 object BenchLevel {
   def main(args: Array[String]): Unit = {
@@ -247,6 +256,8 @@ object BenchLevel {
       System.err.println(f"[level ${args(0)}] +${(System.nanoTime() - t0) / 1e9}%.0fs $msg")
     val cores = args(0).toInt
     val work = args(1)
+    val pinBase = args.lift(2).map(_.toInt).getOrElse(0)
+    val loop = args.lift(3).contains("loop")
     mark("JVM up, building session")
     val spark = BenchCore.session(cores)
     mark("session up, registering tables")
@@ -256,26 +267,43 @@ object BenchLevel {
     // still UNPINNED — warmup compiles the same code the timed run uses,
     // and running it on the full host keeps fork overhead low
     BenchCore.runPipelineOnce(spark, work, s"$work/wout$cores", cores, warm = true)
-    mark(s"warmup done, pinning to 0-${cores - 1}")
+    val pinRange = s"$pinBase-${pinBase + cores - 1}"
+    mark(s"warmup done, pinning to $pinRange")
     // physically pin the WHOLE JVM (all threads) to the level's cores for
     // the measured region; pool sizes were right from birth via
     // -XX:ActiveProcessorCount, so this only takes the hardware away
     val pid = ProcessHandle.current().pid.toString
-    new ProcessBuilder("taskset", "-apc", s"0-${cores - 1}", pid)
+    new ProcessBuilder("taskset", "-apc", pinRange, pid)
       .redirectErrorStream(true).redirectOutput(ProcessBuilder.Redirect.DISCARD)
       .start().waitFor()
     // short pinned settle pass: lets in-flight background C2 compilation
     // drain off the measured cores before t0
     BenchCore.runPipelineOnce(spark, work, s"$work/sout$cores", cores, warm = true)
     mark("pinned settle done, timed run")
-    val (n, sec) = BenchCore.runPipelineOnce(spark, work, s"$work/out$cores", cores)
-    mark(f"timed run done ($sec%.1f s), probes")
-    // pinned ceilings for this level (same CPU set, sized pools): CPU-bound
-    // kernel rate and DRAM-bandwidth rate
-    val kernelRate = BenchCore.kernelProbe(Seq(cores), quotaSec = 3.0).getOrElse(cores, 0.0)
-    val bwRate = BenchCore.bandwidthProbe(Seq(cores)).getOrElse(cores, 0.0)
-    println(f"GRAFT_LEVEL_RESULT $n $sec%.3f $kernelRate%.1f $bwRate%.2f")
-    System.out.flush()
-    spark.stop()
+    if (loop) {
+      // paired-draw worker: keep producing timed samples (with wall-clock
+      // endpoints) until the coordinator kills this process
+      var i = 0
+      while (i < 1000) {
+        val s = System.currentTimeMillis()
+        val (n, sec) = BenchCore.runPipelineOnce(spark, work, s"$work/out${cores}loop", cores)
+        println(f"GRAFT_LEVEL_RUN $s ${System.currentTimeMillis()} $n $sec%.3f")
+        System.out.flush()
+        i += 1
+      }
+    } else {
+      val s = System.currentTimeMillis()
+      val (n, sec) = BenchCore.runPipelineOnce(spark, work, s"$work/out$cores", cores)
+      val e = System.currentTimeMillis()
+      mark(f"timed run done ($sec%.1f s), probes")
+      // pinned ceilings for this level (same CPU set, sized pools): CPU-bound
+      // kernel rate and DRAM-bandwidth rate
+      val kernelRate = BenchCore.kernelProbe(Seq(cores), quotaSec = 3.0).getOrElse(cores, 0.0)
+      val bwRate = BenchCore.bandwidthProbe(Seq(cores)).getOrElse(cores, 0.0)
+      println(s"GRAFT_LEVEL_REGION $s $e")
+      println(f"GRAFT_LEVEL_RESULT $n $sec%.3f $kernelRate%.1f $bwRate%.2f")
+      System.out.flush()
+      spark.stop()
+    }
   }
 }
