@@ -94,6 +94,21 @@ class PipelineSpec extends AnyFunSuite {
   }
   private val budgetBytesForAll = Long.MaxValue
 
+  test("default run() scans the input once; salt modes duplicate the subtree") {
+    import spark.implicits._
+    val input = SpanGen.checkerDocs(spark, dir).toDF()
+    val prev = SpanGen.prevState(spark, dir)
+    // the salt operators are a union of two filters over the same child and
+    // there is no Exchange for ReuseExchange to dedup, so the scan+join
+    // subtree executes once per branch — the default must stay single-scan
+    def leafCount(salt: String): Int =
+      Pipeline.run(spark, input, prev, None, ts, "ps", 4, salt = salt)
+        .queryExecution.optimizedPlan.collectLeaves().size
+    val none = leafCount("none")
+    assert(leafCount("heavy") > none, "salt=heavy should duplicate the scan subtree")
+    assert(leafCount("all") > none, "salt=all should duplicate the scan subtree")
+  }
+
   test("native Catalyst extract expression == typed mapPartitions stage") {
     import spark.implicits._
     val docs = SpanGen.docs(spark, dir).toDF()
