@@ -53,6 +53,11 @@ private[graft] object BenchCore {
       // shuffle/spill on tmpfs when available: the sandbox /tmp is a virtual
       // disk with high-variance latency that would otherwise dominate
       .config("spark.local.dir", fastDir("graft-spark-local"))
+      // trust the bucket files' SORTED BY order: writeInput guarantees ONE
+      // file per bucket (repartition(numBuckets) before bucketBy), which is
+      // the precondition for this flag — it removes both Sort nodes from the
+      // state sort-merge join, leaving scan -> merge -> extract -> sink
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

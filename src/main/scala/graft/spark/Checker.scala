@@ -39,7 +39,13 @@ object Checker {
     * [[filterNeedsUpdate]] to keep the to-extract set.
     */
   def classify(input: DataFrame, prev: DataFrame): DataFrame = {
-    val joined = input.alias("i").join(
+    // span cost is O(spans) per row and the classifier output feeds both a
+    // Filter and a Project (Catalyst pushes the filter's predicate through
+    // the projection, duplicating the CASE into both operators) — computing
+    // the cost as a pre-join column makes the duplicated CASE reference an
+    // attribute, so the aggregate() itself runs once per row, below the join
+    val inputC = input.withColumn("__span_cost", spanCost(col("spans")))
+    val joined = inputC.alias("i").join(
       prev.alias("p"),
       col("i.doc_id") === col("p.doc_id"),
       "left_outer")
@@ -63,7 +69,7 @@ object Checker {
     // zero-byte / missing-source overrides run AFTER the above (checker.py:239-248)
     val update =
       when(col("i.spans").isNull, "IGNORE_NON_EXISTENT_FT_SOURCE")
-        .when(spanCost(col("i.spans")) === 0L, "IGNORE_ZERO_BYTE_FT_SOURCE")
+        .when(col("i.__span_cost") === 0L, "IGNORE_ZERO_BYTE_FT_SOURCE")
         .otherwise(update0)
 
     // PDF routing to its own queue (checker.py:266-277)
