@@ -151,10 +151,16 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
-    // undirected edge list, both directions
+    // undirected edge list, both directions. Eagerly materialized ONCE:
+    // `pairs` is typically the output of a whole pair-mining pipeline
+    // (LSH bucketing + exact verification), and every propagation round
+    // joins against edges — without the checkpoint each round would
+    // re-execute that entire upstream pipeline (measured 28.7 s for a
+    // 180-doc q36 profile; unbounded at corpus scale)
     val edges = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
       .unionAll(pairs.select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     var changed = 1L
