@@ -390,8 +390,11 @@ object Bench {
             s""""layout":"${if (BenchCore.bucketed) s"bucketed(${BenchCore.Buckets}) zero-exchange state join" else "plain parquet"}",""" +
             s""""aggregation":"best-of-${byRound.length}-interleaved-rounds-per-level incl. bonus 8/2 pairs (host throttles in multi-minute windows; per-round ratios published)"}"""
         }
-      f"""{"metric":"docs_per_sec_end_to_end","value":$headlineRate%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","input_docs":$nInput,"total_query_sec":$totalSec%.1f,"scaling":$scalingJson,""" +
-        f""""status":"$status","budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsed%.0f,"runs_skipped":$runsSkipped,"queries_skipped":$queriesSkipped}"""
+      // the per-query map goes LAST: the driver keeps only a tail of stdout,
+      // and this field order guarantees the profile survives the capture
+      // even when the scaling block pushes the line past the tail window
+      f"""{"metric":"docs_per_sec_end_to_end","value":$headlineRate%.1f,"unit":"docs/sec","sf":"$sfDir","input_docs":$nInput,"total_query_sec":$totalSec%.1f,"scaling":$scalingJson,""" +
+        f""""status":"$status","budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsed%.0f,"runs_skipped":$runsSkipped,"queries_skipped":$queriesSkipped,"queries":$qs}"""
     }
 
     def emitPartial(): Unit = {
@@ -580,9 +583,10 @@ object Bench {
 
     status = if (runsSkipped + queriesSkipped > 0) "partial" else "complete"
     latestJson = buildJson()
-    println(latestJson)
-    // compact summary as the LAST stdout line: harnesses that keep only the
-    // tail of the output still see the headline + the scaling gate numbers
+    // print order matters for tail-capturing harnesses: the compact summary
+    // goes FIRST and the full JSON — whose final field is the per-query
+    // profile map — goes LAST, so a 2,000-char stdout tail always contains
+    // the complete per-query regression profile plus the status fields
     val r = rate
     val summary = {
       val eff = if (r.contains(2) && r.contains(8)) f"${(r(8) / r(2)) / 4.0}%.3f" else "null"
@@ -603,9 +607,14 @@ object Bench {
         s""""scaling_efficiency_2_8":$eff,"speedup_2_8":$spd,"ideal_2_8":4.0,"pipeline_vs_host_ceiling_2_8":$vsCeil,""" +
         s""""bandwidth_ceiling_speedup_2_8":${bwCeil.map(c => f"$c%.3f").getOrElse("null")},"pipeline_vs_bandwidth_ceiling_2_8":$vsBwCeil,""" +
         s""""docs_per_sec":$rates,"best_sec":$secs,""" +
+        s""""slowest5":${
+          queryTimes.toSeq.sortBy(-_._2).take(5)
+            .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+        },""" +
         f""""total_query_sec":${queryTimes.values.sum}%.1f,"status":"$status","runs_skipped":$runsSkipped,"queries_skipped":$queriesSkipped}"""
     }
     println(summary)
+    println(latestJson)
     System.out.flush()
     finalPrinted = true
     spark.stop()

@@ -81,8 +81,30 @@ private[graft] object BenchCore {
     ("graft_bench_input", "input"), ("graft_bench_prev", "prev"),
     ("graft_bench_warm_input", "warm_input"), ("graft_bench_warm_prev", "warm_prev"))
 
+  /** Precondition guard for `spark.sql.legacy.bucketedTableScan.outputOrdering`
+    * (set in [[session]]): the flag trusts each bucket's SORTED BY order,
+    * which only holds when every bucket is exactly ONE file — with several
+    * files per bucket the scan concatenates sorted runs WITHOUT merging and
+    * the Sort-free sort-merge join silently returns wrong results (that is
+    * why the flag is `legacy`). writeInput guarantees the invariant
+    * (repartition(Buckets) on the bucket key before bucketBy); this check
+    * makes a violation fail loudly at registration instead.
+    */
+  private def assertOneFilePerBucket(dir: String): Unit = {
+    val bucketId = "_(\\d{5})\\.".r
+    val ids = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .flatMap(f => bucketId.findFirstMatchIn(f.getName).map(_.group(1)))
+    val dups = ids.groupBy(identity).collect { case (id, fs) if fs.length > 1 => id }
+    require(dups.isEmpty,
+      s"bucketed table at $dir has multiple files per bucket (${dups.take(3).mkString(", ")}): " +
+        "spark.sql.legacy.bucketedTableScan.outputOrdering would produce WRONG join " +
+        s"results — rewrite the table with repartition($Buckets, key) before bucketBy")
+  }
+
   def registerTables(spark: SparkSession, path: String): Unit = if (bucketed) {
     for ((name, sub) <- tables) {
+      assertOneFilePerBucket(s"$path/$sub")
       val ddlFile = new java.io.File(s"$path/$sub.ddl")
       val ddl =
         if (ddlFile.isFile) {

@@ -300,17 +300,27 @@ object SparkEntry {
 
     // PII planted deterministically from doc_id on ~1/7 of docs: the scrub
     // must count and redact exactly what the oracle plants with the same
-    // arithmetic (patterns restricted to Java-regex/RE2-agreeing constructs)
+    // arithmetic (patterns restricted to Java-regex/RE2-agreeing constructs).
+    // The planted card digits vary with doc_id so Luhn validity differs per
+    // doc (~1/10 pass), and every 14th doc also gets the classic Luhn-valid
+    // test PAN — both branches of the post-filter are oracle-gated.
     "q39_pii_scrub" -> ((s, dir) => {
       val planted = s.read.parquet(s"$dir/documents.parquet")
         .withColumn("text",
           when(col("doc_id") % 7 === 0,
             concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
               lit("@mail.example.org or +1 555 0142 from 10.0.0."),
-              (col("doc_id") % 256).cast("string")))
+              (col("doc_id") % 256).cast("string"),
+              lit(" via 2001:0db8:0000:0000:0000:0000:0000:"),
+              (col("doc_id") % 9999).cast("string"),
+              lit(" card "),
+              lpad(((col("doc_id") * 37) % 10000).cast("string"), 16, "4"),
+              when(col("doc_id") % 14 === 0, lit(" and 4111111111111111"))
+                .otherwise(lit(""))))
             .otherwise(col("text")))
       TextAnalysis.piiScrub(planted)
-        .select("doc_id", "n_emails", "n_ipv4", "n_phones", "text_scrubbed")
+        .select("doc_id", "n_emails", "n_ipv4", "n_ipv6", "n_phones", "n_cards",
+          "text_scrubbed")
     }),
 
     // repetition/structure quality stats over deterministically imposed
@@ -597,25 +607,45 @@ object SparkEntry {
          FROM documents GROUP BY 1, 2""",
 
     // same planted-PII arithmetic, same regexes (constructs chosen to agree
-    // between Java regex and RE2), same email -> ip -> phone redaction order
+    // between Java regex and RE2 incl. ASCII \b), same email -> ipv6 ->
+    // ipv4 -> phone -> card redaction order; n_cards applies the SAME Luhn
+    // post-filter (double every second digit from the right, -9 on
+    // overflow, sum % 10 == 0) as TextAnalysis.luhnValid
     "q39_pii_scrub" -> {
       val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
       val ipv4 = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"""
+      val ipv6 = """\b[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){7}\b"""
       val phone = """\+[0-9]{1,2} [0-9]{3} [0-9]{4}"""
+      val card = """\b[0-9]{13,16}\b"""
+      val luhnDigit =
+        """CASE WHEN i % 2 = 0
+             THEN CASE WHEN substr(c, (len(c)-i+1)::INT, 1)::INT * 2 > 9
+                       THEN substr(c, (len(c)-i+1)::INT, 1)::INT * 2 - 9
+                       ELSE substr(c, (len(c)-i+1)::INT, 1)::INT * 2 END
+             ELSE substr(c, (len(c)-i+1)::INT, 1)::INT END"""
       s"""WITH p AS (
             SELECT doc_id, CASE WHEN doc_id % 7 = 0
               THEN text || ' reach user' || doc_id::VARCHAR ||
-                   '@mail.example.org or +1 555 0142 from 10.0.0.' || (doc_id % 256)::VARCHAR
+                   '@mail.example.org or +1 555 0142 from 10.0.0.' || (doc_id % 256)::VARCHAR ||
+                   ' via 2001:0db8:0000:0000:0000:0000:0000:' || (doc_id % 9999)::VARCHAR ||
+                   ' card ' || lpad(((doc_id * 37) % 10000)::VARCHAR, 16, '4') ||
+                   CASE WHEN doc_id % 14 = 0 THEN ' and 4111111111111111' ELSE '' END
               ELSE text END AS t
             FROM documents)
           SELECT doc_id,
             len(regexp_extract_all(t, '$email')) AS n_emails,
             len(regexp_extract_all(t, '$ipv4')) AS n_ipv4,
+            len(regexp_extract_all(t, '$ipv6')) AS n_ipv6,
             len(regexp_extract_all(t, '$phone')) AS n_phones,
-            regexp_replace(regexp_replace(regexp_replace(t,
+            len(list_filter(regexp_extract_all(t, '$card'),
+              c -> list_sum(list_transform(generate_series(1, len(c)),
+                     i -> $luhnDigit)) % 10 = 0)) AS n_cards,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
               '$email', '<EMAIL>', 'g'),
+              '$ipv6', '<IPV6>', 'g'),
               '$ipv4', '<IP>', 'g'),
-              '$phone', '<PHONE>', 'g') AS text_scrubbed
+              '$phone', '<PHONE>', 'g'),
+              '$card', '<CARD>', 'g') AS text_scrubbed
           FROM p"""
     },
 

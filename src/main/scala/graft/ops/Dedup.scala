@@ -63,6 +63,39 @@ object Dedup {
   @inline def seededHash(s: String, seed: Int): Int =
     scala.util.hashing.MurmurHash3.stringHash(s, seed)
 
+  /** Size-bounded bucket aggregation shared by [[minhashLsh]] and
+    * [[embeddingNearDup]]: group (id, bucket) assignments into
+    * (bucket, ids[<=maxBucket], truncated) WITHOUT ever materializing an
+    * unbounded bucket in an aggregation buffer. A plain
+    * `groupBy(bucket).agg(collect_list(id))` holds the ENTIRE bucket in one
+    * in-memory buffer before any cap applies — on a degenerate hot bucket
+    * (millions of near-identical docs sharing a band key) that is an
+    * executor OOM, not graceful truncation. Here a `row_number()` window
+    * over the same shuffle key ranks ids per bucket first (WindowExec sorts
+    * with an external spillable sorter — O(1) memory per row), rows beyond
+    * `maxBucket + 1` are dropped BEFORE aggregation, and the surviving
+    * collect_list buffer is bounded at `maxBucket` elements by construction.
+    * The sentinel `maxBucket + 1` row keeps the `truncated` flag exact
+    * (max(rn) > maxBucket  <=>  bucket size > maxBucket) without a second
+    * full count. Same shuffle key throughout — one Exchange, no extra pass.
+    * Output ids are the smallest `maxBucket` ids of the bucket, ascending —
+    * identical to the previous `ids.sorted.take(maxBucket)` semantics.
+    */
+  private[ops] def boundedBuckets(assignments: DataFrame, idCol: String,
+      maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy("bucket").orderBy(col(idCol))
+    assignments
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxBucket + 1)
+      .groupBy("bucket")
+      .agg(
+        sort_array(collect_list(when(col("rn") <= maxBucket, col(idCol)))).as("ids"),
+        max("rn").as("_maxrn"))
+      .filter(size(col("ids")) > 1)
+      .select(col("bucket"), col("ids"),
+        (col("_maxrn") > maxBucket).cast("int").as("truncated"))
+  }
+
   /** MinHash + banded LSH near-duplicate detection, verified by exact
     * Jaccard. numPerm = bands * rowsPerBand signatures; a pair becomes a
     * candidate when any band agrees. With 16 bands x 4 rows, a pair at
@@ -70,9 +103,11 @@ object Dedup {
     * verified output matches the exact-Jaccard oracle.
     *
     * Plan: one typed map computes the signature per doc (no shuffle), one
-    * shuffle groups band buckets, pairs are generated per bucket (bounded by
-    * `maxBucket`, overflow counted — no silent truncation), one join brings
-    * texts back for exact verification.
+    * shuffle ranks-and-groups band buckets with BOUNDED buffers
+    * ([[boundedBuckets]] — a degenerate hot bucket truncates gracefully
+    * instead of OOMing an executor; overflow counted, never silent), pairs
+    * are generated per capped bucket, one join brings texts back for exact
+    * verification.
     */
   def minhashLsh(docs: DataFrame, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       tau: Double = 0.85, maxBucket: Int = 64): DataFrame = {
@@ -102,16 +137,15 @@ object Dedup {
         (id, bandKeys)
       }.toDF("doc_id", "band_keys")
 
-    val buckets = sigs.select(col("doc_id"), explode(col("band_keys")).as("bucket"))
-      .groupBy("bucket").agg(collect_list("doc_id").as("ids"))
-      .filter(size(col("ids")) > 1)
+    val buckets = boundedBuckets(
+      sigs.select(col("doc_id"), explode(col("band_keys")).as("bucket")),
+      "doc_id", maxBucket)
 
-    val candidates = buckets.select(col("ids"), size(col("ids")).as("bsz"))
+    val candidates = buckets.select(col("ids"), col("truncated"))
       .as[(Seq[Long], Int)]
-      .flatMap { case (ids0, bsz) =>
-        val ids = ids0.sorted.take(maxBucket) // bounded pair generation
+      .flatMap { case (ids, tr) =>
         for (i <- ids.indices.iterator; j <- (i + 1) until ids.length)
-          yield (ids(i), ids(j), if (bsz > maxBucket) 1 else 0)
+          yield (ids(i), ids(j), tr)
       }.toDF("doc_a", "doc_b", "truncated")
       .groupBy("doc_a", "doc_b").agg(max("truncated").as("truncated"))
 
@@ -157,10 +191,23 @@ object Dedup {
     // joins against edges — without the checkpoint each round would
     // re-execute that entire upstream pipeline (measured 28.7 s for a
     // 180-doc q36 profile; unbounded at corpus scale)
-    val edges = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
-      .unionAll(pairs.select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
+    val srcA = expr("try_cast(doc_a AS BIGINT)")
+    val dstB = expr("try_cast(doc_b AS BIGINT)")
+    val edges = pairs.select(srcA.as("src"), dstB.as("dst"))
+      .unionAll(pairs.select(dstB.as("src"), srcA.as("dst")))
       .distinct()
       .localCheckpoint()
+    // numeric-id contract, enforced: min-label propagation needs a totally
+    // ordered id domain, so doc ids are cast to long — a non-numeric string
+    // id (e.g. "D000000007") try_casts to NULL (in ANSI and legacy mode
+    // alike) and would silently produce a degenerate clustering. Fail fast
+    // with a clear message instead (the count scans only the
+    // already-materialized checkpoint, no upstream recompute).
+    val nullIds = edges.filter(col("src").isNull || col("dst").isNull).count()
+    if (nullIds > 0)
+      throw new IllegalArgumentException(
+        s"duplicateClusters: $nullIds edge endpoint(s) are not castable to long; " +
+          "doc_a/doc_b must be numeric ids (strip any prefix before calling)")
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     var changed = 1L
@@ -238,10 +285,11 @@ object Dedup {
     * generation.
     *
     * Scale shape mirrors [[minhashLsh]]: one narrow signature map, one
-    * bucket groupBy, per-bucket pair generation CAPPED at `maxBucket`
-    * (overflow surfaced in the `truncated` flag, never silent — a hot
-    * bucket on correlated corpora would otherwise go quadratic), then
-    * exact cosine verification of every candidate.
+    * size-bounded bucket grouping ([[boundedBuckets]] — per-bucket ids are
+    * capped BEFORE any aggregation buffer forms, so a hot bucket on
+    * correlated corpora can neither go quadratic nor OOM the aggregation;
+    * overflow surfaced in the `truncated` flag, never silent), then exact
+    * cosine verification of every candidate.
     */
   def embeddingNearDup(emb: DataFrame, tau: Double = 0.95, tables: Int = 6,
       planesPerTable: Int = 8, maxBucket: Int = 64): DataFrame = {
@@ -272,15 +320,14 @@ object Dedup {
         (id, keys)
       }.toDF("vec_id", "bucket_keys")
 
-    val candidates = sigs.select(col("vec_id"), explode(col("bucket_keys")).as("bucket"))
-      .groupBy("bucket").agg(collect_list("vec_id").as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(col("ids"), size(col("ids")).as("bsz"))
+    val candidates = boundedBuckets(
+      sigs.select(col("vec_id"), explode(col("bucket_keys")).as("bucket")),
+      "vec_id", maxBucket)
+      .select(col("ids"), col("truncated"))
       .as[(Seq[Long], Int)]
-      .flatMap { case (ids0, bsz) =>
-        val ids = ids0.sorted.take(maxBucket) // bounded pair generation
+      .flatMap { case (ids, tr) =>
         for (i <- ids.indices.iterator; j <- (i + 1) until ids.length)
-          yield (ids(i), ids(j), if (bsz > maxBucket) 1 else 0)
+          yield (ids(i), ids(j), tr)
       }.toDF("id_a", "id_b", "truncated")
       .groupBy("id_a", "id_b").agg(max("truncated").as("truncated"))
 

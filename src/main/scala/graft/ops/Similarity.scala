@@ -161,7 +161,11 @@ object Similarity {
     // (deterministic) file layout, and never empty for a non-empty table —
     // unlike an id-strided filter, which is an extra full scan and breaks
     // on sparse or non-zero-based ids.
-    val nParts = math.max(1, typed.rdd.getNumPartitions)
+    // sized from file-count metadata (or the scheduler default for an
+    // in-memory frame) — NOT from typed.rdd.getNumPartitions, which would
+    // build the whole RDD lineage just to read a number
+    val nParts = math.max(1, math.max(emb.inputFiles.length,
+      spark.sparkContext.defaultParallelism min 64))
     val perPart = math.max(1, (2048 + nParts - 1) / nParts)
     val sample = typed.mapPartitions(_.take(perPart))
       .collect().map(_._2.map(_.toDouble).toArray)

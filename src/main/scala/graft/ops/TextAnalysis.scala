@@ -91,25 +91,61 @@ object TextAnalysis {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
   val PhoneRe = "\\+[0-9]{1,2} [0-9]{3} [0-9]{4}"
+  /** full (8-group) IPv6 form; `\b` is an ASCII word boundary in both
+    * Java regex and RE2, and hex groups are word characters in both
+    */
+  val Ipv6Re = "\\b[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){7}\\b"
+  /** payment-card candidate: a 13-16 digit run NOT embedded in a longer
+    * run (`\b` on both ends — neither engine matches inside a 20-digit
+    * run). Candidates are counted only when they pass the Luhn checksum,
+    * computed as a post-filter COLUMN EXPRESSION (not regex — checksums
+    * are beyond a regular language); redaction stays conservative and
+    * masks every card-shaped run.
+    */
+  val CardRe = "\\b[0-9]{13,16}\\b"
+
+  /** Luhn checksum validity of a digit-string column: from the right,
+    * double every second digit (subtracting 9 when it overflows), sum,
+    * valid iff % 10 == 0. Pure nested higher-order column expression.
+    */
+  def luhnValid(c: Column): Column = {
+    val n = length(c)
+    val total = aggregate(sequence(lit(1), n), lit(0), { (acc, i) =>
+      val d = c.substr(n - i + 1, lit(1)).cast("int")
+      val v = when(i % 2 === 0, when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      acc + v
+    })
+    total % 10 === 0
+  }
 
   /** PII scrubbing for training-data curation: counts and redacts emails,
-    * IPv4 addresses, and +CC NNN NNNN phone numbers. Pure column
-    * expressions (single scan, codegen, no shuffle). Redaction order is
-    * email -> ip -> phone so a pattern never matches inside an earlier
-    * placeholder; counts are taken on the ORIGINAL text.
+    * IPv4/IPv6 addresses, +CC NNN NNNN phone numbers, and Luhn-valid
+    * payment-card numbers. Pure column expressions (single scan, codegen,
+    * no shuffle). Redaction order is email -> ipv6 -> ipv4 -> phone ->
+    * card so a pattern never matches inside an earlier placeholder;
+    * counts are taken on the ORIGINAL text. `n_cards` counts only
+    * Luhn-VALID candidates ([[luhnValid]] post-filter); redaction masks
+    * every card-shaped digit run (conservative scrubbing).
     */
   def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     docs
       .withColumn("n_emails", size(regexp_extract_all(t, lit(EmailRe), lit(0))))
       .withColumn("n_ipv4", size(regexp_extract_all(t, lit(Ipv4Re), lit(0))))
+      .withColumn("n_ipv6", size(regexp_extract_all(t, lit(Ipv6Re), lit(0))))
       .withColumn("n_phones", size(regexp_extract_all(t, lit(PhoneRe), lit(0))))
+      .withColumn("n_cards",
+        size(filter(regexp_extract_all(t, lit(CardRe), lit(0)), c => luhnValid(c))))
       .withColumn("text_scrubbed",
         regexp_replace(
           regexp_replace(
-            regexp_replace(t, EmailRe, "<EMAIL>"),
-            Ipv4Re, "<IP>"),
-          PhoneRe, "<PHONE>"))
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(t, EmailRe, "<EMAIL>"),
+                Ipv6Re, "<IPV6>"),
+              Ipv4Re, "<IP>"),
+            PhoneRe, "<PHONE>"),
+          CardRe, "<CARD>"))
   }
 
   /** Gopher-style repetition / structure statistics. The corpus text is a

@@ -278,7 +278,10 @@ object Pipeline {
     val salted = salt match {
       case "all" => saltByCost(toExtract, numPartitions, budgetBytes)
       case "heavy" => saltHeavyOnly(toExtract, numPartitions, budgetBytes)
-      case _ => toExtract
+      case "none" => toExtract
+      // a typo ("Heavy", "heav") must not silently disable skew handling
+      case other => throw new IllegalArgumentException(
+        s"""unknown salt strategy "$other": expected "none", "heavy" or "all"""")
     }
     val extracted = extractStageNative(salted, indexDate, runId).as[ExtractedDoc]
     recovered.map(extracted.unionAll).getOrElse(extracted)

@@ -95,6 +95,21 @@ object SnapshotTable {
       else spark.read.parquet(entries.map(_.path): _*)
     }
 
+  /** URI string -> path, scheme and authority dropped — the COLUMN twin of
+    * the Scala-side `new Path(uri).toUri.getPath` used on the manifest side
+    * of [[readCurrent]]'s join. Handles both authority URIs
+    * ("hdfs://nn:8020/x" -> "/x", "s3a://bucket/x" -> "/x" — scheme may
+    * contain digits) and no-authority forms ("file:/x" -> "/x"). Both join
+    * sides MUST normalize identically or the join silently drops files;
+    * [[readCurrent]] additionally fails loudly on any unmatched file.
+    */
+  private def normalizePathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    regexp_replace(
+      regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""),
+      "^[A-Za-z][A-Za-z0-9+.-]*:", "")
+  }
+
   /** Merge-on-read view: one row per `keyCol`, keeping the row committed by
     * the HIGHEST snapshot — a retried doc's success row supersedes its
     * earlier error-channel row (cf. [[Pipeline.runCommitted]]'s
@@ -102,7 +117,16 @@ object SnapshotTable {
     * one extra shuffle on the key, the same cost shape as an Iceberg
     * merge-on-read scan, with the per-file snapshot attribution coming from
     * manifest metadata (broadcast — no extra data pass). Use [[read]] when
-    * the raw append history is wanted.
+    * the raw append history is wanted, [[compact]] to fold retry history
+    * back to one snapshot.
+    *
+    * File attribution joins on `_metadata.file_path` (the scan's own record
+    * of the source file) with BOTH sides normalized by the same
+    * scheme/authority-stripping rule; an unmatched file raises an error at
+    * scan time instead of silently dropping rows. Duplicate keys within one
+    * snapshot resolve deterministically ((_file, _metadata.row_index)
+    * tiebreak), though the writer contract is at-most-one-row-per-key-per-
+    * commit.
     */
   def readCurrent(spark: SparkSession, tableDir: String,
       keyCol: String = "doc_id"): Option[DataFrame] =
@@ -116,13 +140,43 @@ object SnapshotTable {
           .map(e => (new Path(e.path).toUri.getPath, e.snapshot))
           .toDF("_file", "_snapshot")
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keyCol).orderBy(col("_snapshot").desc)
-        df.withColumn("_file", regexp_replace(input_file_name(), "^[a-z]+:/+", "/"))
-          .join(broadcast(fileSnap), "_file")
+          .partitionBy(keyCol)
+          .orderBy(col("_snapshot").desc, col("_file"), col("_ridx"))
+        df.withColumn("_file", normalizePathCol(col("_metadata.file_path")))
+          .withColumn("_ridx", col("_metadata.row_index"))
+          .join(broadcast(fileSnap), Seq("_file"), "left")
+          // a file the manifest cannot attribute means the two normalizations
+          // diverged (or a stray file leaked into the read) — silent data
+          // loss in the retry/supersede view. Fail loudly, at scan time.
+          .withColumn("_snapshot",
+            when(col("_snapshot").isNull,
+              raise_error(concat(lit("readCurrent: data file not in manifest: "),
+                col("_file"))))
+              .otherwise(col("_snapshot")))
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1)
-          .drop("_file", "_snapshot", "_rn")
+          .drop("_file", "_ridx", "_snapshot", "_rn")
       }
+    }
+
+  /** Fold retry/supersede history into one snapshot: rewrites the
+    * [[readCurrent]] view as a single overwrite commit so the read-side
+    * merge cost stops growing with append history. The commit is atomic
+    * (same pointer-swap protocol), prior manifests stay on disk as history,
+    * and the per-file lineage of the compacted snapshot lands in the new
+    * manifest. Returns the new snapshot id, or -1 when there is nothing to
+    * compact (no table, or a single-snapshot table is already compact).
+    */
+  def compact(spark: SparkSession, tableDir: String,
+      keyCol: String = "doc_id"): Long =
+    currentManifest(spark, tableDir) match {
+      case None => -1L
+      case Some((_, entries)) if entries.map(_.snapshot).distinct.size <= 1 => -1L
+      case Some(_) =>
+        // data files are immutable, so the rewrite can read the live view
+        // while writing the new files; visibility flips only at the swap
+        readCurrent(spark, tableDir, keyCol).map(v => overwrite(v, tableDir))
+          .getOrElse(-1L)
     }
 
   /** Per-file lineage of the live snapshot: (file, rows, bytes). */
@@ -145,8 +199,17 @@ object SnapshotTable {
       val id = name.stripPrefix("manifest-").take(6).toLong
       val entries = readFile(hfs, new Path(s"$tableDir/manifests/$name"))
         .split('\n').toSeq.filter(_.nonEmpty).map { line =>
-          val Array(p, r, b, s) = line.split('\t')
-          FileEntry(p, r.toLong, b.toLong, s.toLong)
+          line.split('\t') match {
+            // current format: path \t rows \t bytes \t snapshot
+            case Array(p, r, b, s) => FileEntry(p, r.toLong, b.toLong, s.toLong)
+            // legacy pre-snapshot-column format (path \t rows \t bytes):
+            // attribute every file to the manifest's own id so old tables
+            // stay readable AND appendable (merge-on-read sees one snapshot,
+            // which matches what the legacy format could express)
+            case Array(p, r, b) => FileEntry(p, r.toLong, b.toLong, id)
+            case other => throw new java.io.IOException(
+              s"malformed manifest line (${other.length} fields) in $name: $line")
+          }
         }
       Some((id, entries))
     }

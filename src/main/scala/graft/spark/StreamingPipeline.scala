@@ -42,4 +42,72 @@ object StreamingPipeline {
       }
       .start()
   }
+
+  /** Continuous multi-part ingestion: part events -> stateful assembly
+    * ([[graft.streaming.MultipartAssembly]]) -> checker -> extraction ->
+    * sink, under ONE checkpoint. The reference consumes multi-file links
+    * rows inside its pipeline proper (utils.py:286-312 feeding
+    * extraction.py:1242-1256) but assumes all parts are on disk; here parts
+    * may arrive across micro-batches and out of order, the assembly state is
+    * checkpointed alongside the source offsets, and exactly-once emission of
+    * each assembled doc carries through to the sink via foreachBatch.
+    *
+    * Documents the timeout flushes as INCOMPLETE (missing parts after
+    * `incompleteTimeoutMs` with no progress) skip extraction and land in the
+    * error side-channel — the streaming analog of the reference's "not all
+    * files found" IOError (utils.py:301-305).
+    */
+  def runParts(spark: SparkSession, inputDir: String, outDir: String,
+      checkpointDir: String, prevState: DataFrame,
+      indexDate: java.sql.Timestamp,
+      incompleteTimeoutMs: Option[Long] = None,
+      numPartitions: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
+    val parts = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n))
+      .getOrElse(reader)
+      .parquet(inputDir)
+      .as[graft.streaming.MultipartAssembly.PartRow]
+
+    val assembled = graft.streaming.MultipartAssembly.assemble(parts, incompleteTimeoutMs)
+
+    assembled.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[graft.streaming.MultipartAssembly.AssembledDoc],
+         batchId: Long) =>
+        val s = batch.sparkSession
+        val docs = batch.toDF()
+          .withColumn("update_flag", lit(null).cast("string"))
+          .withColumn("src_mtime", lit(indexDate))
+        val complete = docs.filter(col("complete"))
+          .select("doc_id", "format", "provider", "source_path", "spans",
+            "update_flag", "src_mtime")
+        val out = Pipeline.run(s, complete, prevState, None, indexDate,
+          runId = s"parts-$batchId", numPartitions = numPartitions).toDF()
+        // incomplete (timeout-flushed) docs: error rows, ExtractedDoc-shaped
+        val incomplete = docs.filter(!col("complete")).select(
+          col("doc_id"),
+          col("spans"),
+          lit(null).cast("string").as("fulltext"),
+          lit(null).cast("string").as("acknowledgements"),
+          lit(Array.empty[String]).as("dataset"),
+          lit(Array.empty[String]).as("facility"),
+          lit(null).cast("string").as("update_reason"),
+          lit(indexDate).as("index_date"),
+          col("format"),
+          lit(-1).as("part_id"),
+          concat_ws("/", lit(s"parts-$batchId"), col("doc_id")).as("lineage"),
+          concat(lit("multipart incomplete: missing parts "),
+            to_json(col("missing"))).as("error"))
+        out.unionByName(incomplete).write.mode("append").parquet(outDir)
+      }
+      .start()
+  }
 }

@@ -187,4 +187,58 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 0, 0, 0, 0L, "ok"))) // empty doc: no flag fires
     assert(out(4L) == ((4L, 2, 0, 0, 500L, "ok")))
   }
+
+  test("minhashLsh: degenerate hot bucket is bounded BEFORE aggregation (plan + behavior)") {
+    import spark.implicits._
+    // 10,000 identical docs put every band key into ONE bucket. A raw
+    // groupBy(bucket).agg(collect_list(id)) materializes all 10k ids in one
+    // aggregation buffer before any cap applies — the 100-TB executor-OOM
+    // shape. Bounded, the buffer holds <= maxBucket ids (row_number ranks
+    // and filters on the same shuffle key first) and pair generation is
+    // C(8,2) over the smallest ids, truncation surfaced, never silent.
+    val docs = (0L until 10000L).map(id => (id, "aa bb cc dd ee ff gg hh"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashLsh(docs, maxBucket = 8)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("row_number"), plan.take(3000))
+    assert(!plan.matches("(?s).*collect_list\\(doc_id.*"),
+      "collect_list aggregates the raw unbounded bucket:\n" + plan.take(3000))
+    val pairs = out.as[(Long, Long)].collect().toSet
+    val expected = (for { a <- 0L until 8L; b <- (a + 1) until 8L } yield (a, b)).toSet
+    assert(pairs == expected, s"got ${pairs.size} pairs")
+  }
+
+  test("embeddingNearDup: bounded bucket plan (no raw collect_list) and truncated flag exact") {
+    import spark.implicits._
+    val same = (0L until 100L).map(id => (id, Seq(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(same, tau = 0.5, maxBucket = 8)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("row_number"), plan.take(3000))
+    assert(!plan.matches("(?s).*collect_list\\(vec_id.*"),
+      "collect_list aggregates the raw unbounded bucket:\n" + plan.take(3000))
+    val rows = out.as[(Long, Long, Int)].collect()
+    assert(rows.length == 28 && rows.forall(_._3 == 1)) // hot bucket -> truncated on every pair
+  }
+
+  test("pii scrub: ipv6 counted/redacted; cards counted only when Luhn-valid, always redacted") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "host 2001:0db8:85a3:0000:0000:8a2e:0370:7334 pays with 4111111111111111"),
+      (2L, "invalid card 4111111111111112 still redacted"),
+      (3L, "digits 12345678901234567890 form no card and 1:2:3 no ipv6")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs)
+      .select("doc_id", "n_ipv6", "n_cards", "text_scrubbed")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1, 1, "host <IPV6> pays with <CARD>")))
+    assert(out(2L) == ((2L, 0, 0, "invalid card <CARD> still redacted")))
+    assert(out(3L) == ((3L, 0, 0, "digits 12345678901234567890 form no card and 1:2:3 no ipv6")))
+  }
+
+  test("duplicateClusters: non-numeric ids fail fast instead of silently degenerating") {
+    import spark.implicits._
+    val pairs = Seq(("D0001", "D0002")).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException](Dedup.duplicateClusters(pairs))
+    assert(e.getMessage.contains("numeric ids"))
+  }
 }

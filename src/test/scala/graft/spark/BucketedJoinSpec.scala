@@ -67,4 +67,53 @@ class BucketedJoinSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_b_input")
     spark.sql("DROP TABLE IF EXISTS graft_b_prev"): Unit
   }
+
+  test("sorted one-file-per-bucket tables + legacy outputOrdering flag: Sort-free join, same result") {
+    val input = SpanGen.checkerDocs(spark, dir).toDF()
+    val prev = SpanGen.prevState(spark, dir)
+
+    Seq("graft_s_input", "graft_s_prev").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      def rec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
+        f.delete(): Unit
+      }
+      rec(new java.io.File(s"spark-warehouse/$t"))
+    }
+    // PRECONDITION of the flag (cf. BenchCore.assertOneFilePerBucket): each
+    // bucket must be exactly ONE file, or the scan concatenates sorted runs
+    // unmerged and the Sort-free join is silently WRONG. repartition on the
+    // bucket key before bucketBy guarantees it.
+    input.repartition(8, col("doc_id")).write
+      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable("graft_s_input")
+    prev.repartition(8, col("doc_id")).write
+      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable("graft_s_prev")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val classified = Checker.classify(
+        spark.table("graft_s_input"), spark.table("graft_s_prev"))
+      // the plan the bench publishes: scan -> merge-join, no Exchange AND
+      // no Sort on either side (the flag trusts the buckets' SORTED BY)
+      val plan = classified.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), s"shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("+- Sort "), s"Sort survived the flag:\n$plan")
+
+      val expected = Checker.classify(input, prev)
+        .select("doc_id", "update_reason", "route")
+      val got = classified.select("doc_id", "update_reason", "route")
+      assert(got.exceptAll(expected).count() == 0)
+      assert(expected.exceptAll(got).count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_s_input")
+    spark.sql("DROP TABLE IF EXISTS graft_s_prev"): Unit
+  }
 }

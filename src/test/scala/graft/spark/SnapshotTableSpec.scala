@@ -135,4 +135,71 @@ class SnapshotTableSpec extends AnyFunSuite {
   test("read before any commit is None") {
     assert(SnapshotTable.read(spark, tmpTable()).isEmpty)
   }
+
+  test("legacy 3-field manifests stay readable and appendable") {
+    import spark.implicits._
+    val table = tmpTable()
+    // write a table the modern way, then rewrite its manifest in the legacy
+    // (path \t rows \t bytes) format a pre-snapshot-column writer produced
+    SnapshotTable.commit(Seq(("a", 1), ("b", 2)).toDF("doc_id", "v"), table)
+    val manifestsDir = new java.io.File(s"$table/manifests")
+    val manifest = manifestsDir.listFiles().filter(_.getName.startsWith("manifest-")).head
+    val legacy = scala.io.Source.fromFile(manifest)
+    val lines = try legacy.getLines().toSeq finally legacy.close()
+    val w = new java.io.PrintWriter(manifest)
+    try lines.filter(_.nonEmpty).foreach { l =>
+      w.println(l.split('\t').take(3).mkString("\t"))
+    } finally w.close()
+
+    // readable: entries attribute to the manifest's own snapshot id
+    assert(SnapshotTable.read(spark, table).get.count() == 2)
+    assert(SnapshotTable.lineage(spark, table).forall(_.snapshot == 0L))
+    assert(SnapshotTable.readCurrent(spark, table).get.count() == 2)
+    // appendable: the next commit writes the modern format on top
+    assert(SnapshotTable.commit(Seq(("c", 3)).toDF("doc_id", "v"), table) == 1L)
+    assert(SnapshotTable.read(spark, table).get.count() == 3)
+    assert(SnapshotTable.lineage(spark, table).map(_.snapshot).toSet == Set(0L, 1L))
+  }
+
+  test("compact folds retry history into one snapshot; view unchanged; lineage preserved") {
+    import spark.implicits._
+    val table = tmpTable()
+    // three appends with overlapping keys: b is superseded twice, c once
+    SnapshotTable.commit(Seq(("a", 1), ("b", 1)).toDF("doc_id", "v"), table)
+    SnapshotTable.commit(Seq(("b", 2), ("c", 2)).toDF("doc_id", "v"), table)
+    SnapshotTable.commit(Seq(("c", 3), ("d", 3)).toDF("doc_id", "v"), table)
+    val before = SnapshotTable.readCurrent(spark, table).get
+      .as[(String, Int)].collect().toSet
+    assert(before == Set(("a", 1), ("b", 2), ("c", 3), ("d", 3)))
+
+    val snap = SnapshotTable.compact(spark, table)
+    assert(snap == 3L)
+    // view identical, now served from a single snapshot's files
+    assert(SnapshotTable.readCurrent(spark, table).get
+      .as[(String, Int)].collect().toSet == before)
+    assert(SnapshotTable.lineage(spark, table).map(_.snapshot).toSet == Set(3L))
+    assert(SnapshotTable.committedRows(spark, table) == 4)
+    // manifest history (the lineage record) is preserved on disk
+    val manifests = new java.io.File(s"$table/manifests").listFiles()
+      .filter(_.getName.startsWith("manifest-")).map(_.getName).sorted
+    assert(manifests.length == 4)
+    // an already-compact table is a no-op
+    assert(SnapshotTable.compact(spark, table) == -1L)
+    assert(SnapshotTable.lineage(spark, table).map(_.snapshot).toSet == Set(3L))
+  }
+
+  test("readCurrent resolves same-snapshot duplicate keys deterministically") {
+    import spark.implicits._
+    val table = tmpTable()
+    // one commit, duplicate key within it, spread over several files
+    SnapshotTable.commit(
+      Seq(("a", 1), ("a", 2), ("a", 3), ("b", 9)).toDF("doc_id", "v").repartition(4),
+      table)
+    val picks = (1 to 3).map { _ =>
+      SnapshotTable.readCurrent(spark, table).get
+        .filter(col("doc_id") === "a").as[(String, Int)].collect().toSeq
+    }
+    assert(picks.forall(_.length == 1))
+    assert(picks.distinct.length == 1, s"nondeterministic pick across reads: $picks")
+  }
 }

@@ -111,6 +111,59 @@ class MultipartStreamingSpec extends AnyFunSuite {
     assert(done.complete && done.spans.map(_.text) == Seq("alpha", "beta", "gamma"))
   }
 
+  test("runParts: assembly -> extraction -> sink under one checkpoint, incomplete docs to error channel") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-runparts").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cpDir = s"$tmp/cp"
+    val parts = partRows(20)
+    val stuckId = parts.head.doc_id // its part 0 never arrives
+    // wave 1: all second parts — nothing can complete yet
+    parts.filter(_.part_index == 1).toDS().coalesce(1)
+      .write.mode("append").parquet(inDir)
+    Thread.sleep(100)
+    // wave 2: first parts for every doc but the stuck one
+    parts.filter(p => p.part_index == 0 && p.doc_id != stuckId).toDS().coalesce(1)
+      .write.mode("append").parquet(inDir)
+    Thread.sleep(100)
+    // wave 3: an unrelated single-part doc; its batch runs after the stuck
+    // doc's processing-time timeout expired, triggering the flush
+    Seq(PartRow("D9999991", "txt", "ADS", "/s/D9999991.txt", 0, 1, "tail doc words here"))
+      .toDS().coalesce(1).write.mode("append").parquet(inDir)
+
+    val prev = graft.gen.SpanGen.prevState(spark, dir).limit(0) // all NOT_EXTRACTED_BEFORE
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val q = graft.spark.StreamingPipeline.runParts(
+      spark, inDir, outDir, cpDir, prev, ts,
+      incompleteTimeoutMs = Some(1L), numPartitions = 2,
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(180000)
+
+    val out = spark.read.parquet(outDir)
+    // 19 two-part docs + 1 single-part doc extracted; the stuck doc flushed
+    // as ONE incomplete error row; everything exactly once
+    assert(out.count() == 21, s"got ${out.count()} rows")
+    assert(out.select("doc_id").distinct().count() == 21)
+    val errs = out.filter(col("error").isNotNull)
+      .select("doc_id", "error").as[(String, String)].collect()
+    assert(errs.map(_._1).toSeq == Seq(stuckId), errs.mkString(", "))
+    assert(errs.head._2.contains("multipart incomplete"))
+    val good = out.filter(col("error").isNull)
+    assert(good.count() == 20)
+    assert(good.filter(length(col("fulltext")) > 0).count() == 20)
+    // extraction equivalence: the streamed path produces the same fulltext
+    // as the batch pipeline over batch-assembled docs for a sample doc
+    val sample = parts.filter(p => p.doc_id != stuckId).head.doc_id
+    val numericId = sample.stripPrefix("D").toLong
+    val row = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") === numericId).select("text", "source")
+      .as[(String, String)].head()
+    val expectFt = Dispatcher.extract(Synth.multipartDoc(numericId, row._1, row._2))
+      .toOption.get.fulltext
+    val gotFt = good.filter(col("doc_id") === sample)
+      .select("fulltext").as[String].head()
+    assert(gotFt == expectFt)
+  }
+
   test("windowed metrics: watermark finalizes old windows, state stays bounded") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-wm").toString
