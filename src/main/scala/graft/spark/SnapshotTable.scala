@@ -65,7 +65,10 @@ object SnapshotTable {
       .sortBy(_.getPath.getName)
       .map(s => (s.getPath.toString, footerRowCount(spark, s.getPath), s.getLen))
 
-    // 3. next manifest = (previous ++ new) or just new (overwrite)
+    // 3. next manifest = (previous ++ new) or just new (overwrite). The
+    //    pointer name read HERE is the commit's expected parent — the swap
+    //    below refuses to clobber a pointer someone else advanced meanwhile
+    val basePointer = currentPointerName(hfs, tableDir)
     val (prevId, prevEntries) = currentManifest(spark, tableDir)
       .map { case (id, es) => (id, es) }.getOrElse((-1L, Seq.empty))
     // appending zero rows to an existing table is a no-op (no new snapshot):
@@ -81,9 +84,36 @@ object SnapshotTable {
     writeFileAtomic(hfs, new Path(manifestsDir, manifestName),
       entries.map(e => s"${e.path}\t${e.rows}\t${e.bytes}\t${e.snapshot}").mkString("", "\n", "\n"))
 
-    // 4. the commit point: atomic swap of the _current pointer
-    writeFileAtomic(hfs, new Path(s"$tableDir/_current"), manifestName + "\n")
+    // 4. the commit point: atomic swap of the _current pointer, guarded by
+    //    an optimistic parent check (cross-JVM writers; same-JVM writers are
+    //    serialized by the `synchronized` above). A losing writer's data
+    //    files become stray files no reader ever sees — rerun to retry.
+    swapPointer(hfs, tableDir, basePointer, manifestName)
     snapshotId
+  }
+
+  /** Optimistic-concurrency pointer swap: refuses to commit when `_current`
+    * no longer names `expected` (another writer advanced the table since
+    * this commit read its base state — appending anyway would silently drop
+    * that writer's files from the new manifest). This closes the detection
+    * half of multi-writer safety; the residual check-to-rename window is the
+    * documented filesystem limit (Iceberg proper CASes the pointer in a
+    * catalog for a true atomic compare-and-swap).
+    */
+  private[spark] def swapPointer(hfs: FileSystem, tableDir: String,
+      expected: Option[String], newName: String): Unit = {
+    val now = currentPointerName(hfs, tableDir)
+    if (now != expected)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot commit conflict on $tableDir: expected _current=" +
+          s"${expected.getOrElse("<none>")} but found ${now.getOrElse("<none>")}; " +
+          "another writer committed concurrently — re-run to retry on the new base")
+    writeFileAtomic(hfs, new Path(s"$tableDir/_current"), newName + "\n")
+  }
+
+  private def currentPointerName(hfs: FileSystem, tableDir: String): Option[String] = {
+    val ptr = new Path(s"$tableDir/_current")
+    if (hfs.exists(ptr)) Some(readFile(hfs, ptr).trim) else None
   }
 
   /** The committed view: only manifest-listed files. None before the first

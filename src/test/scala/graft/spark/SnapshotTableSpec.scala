@@ -188,6 +188,28 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.lineage(spark, table).map(_.snapshot).toSet == Set(3L))
   }
 
+  test("concurrent commit is detected: stale-parent pointer swap refuses to clobber") {
+    import spark.implicits._
+    val table = tmpTable()
+    SnapshotTable.commit(Seq(("a", 1)).toDF("doc_id", "v"), table)
+    val hfs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // writer A read its base state here...
+    val staleBase = Some(scala.io.Source.fromFile(s"$table/_current").mkString.trim)
+    // ...then writer B commits and advances the pointer
+    SnapshotTable.commit(Seq(("b", 2)).toDF("doc_id", "v"), table)
+    // writer A's swap against the stale parent must refuse, not clobber
+    val e = intercept[java.util.ConcurrentModificationException](
+      SnapshotTable.swapPointer(hfs, table, staleBase, "manifest-000009-x.tsv"))
+    assert(e.getMessage.contains("conflict"))
+    // the table still reflects writer B's commit
+    assert(SnapshotTable.read(spark, table).get.count() == 2)
+    // and a correctly-based swap succeeds (what a retry would do)
+    val freshBase = Some(scala.io.Source.fromFile(s"$table/_current").mkString.trim)
+    SnapshotTable.swapPointer(hfs, table, freshBase, freshBase.get)
+    assert(SnapshotTable.read(spark, table).get.count() == 2)
+  }
+
   test("readCurrent resolves same-snapshot duplicate keys deterministically") {
     import spark.implicits._
     val table = tmpTable()
