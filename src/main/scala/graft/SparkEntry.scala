@@ -343,7 +343,31 @@ object SparkEntry {
     // the exact pairwise-cosine oracle pins both recall AND precision
     "q33_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(embNearDupUniverse(s, dir), tau = 0.95)
-        .select("id_a", "id_b"))
+        .select("id_a", "id_b")),
+
+    // hot-bucket truncation semantics, hash-gated: 50 identical vectors put
+    // every table's bucket over maxBucket=8, so the bounded aggregation must
+    // keep exactly the 8 SMALLEST ids (ascending cap), emit all C(8,2) pairs
+    // with truncated=1, and nothing else — closed-form for the oracle
+    "q41_neardup_capped_bucket" -> ((s, dir) => {
+      val uni = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 50)
+        .select(col("vec_id"),
+          transform(sequence(lit(1), lit(8)), i => i.cast("float")).as("embedding"))
+      Dedup.embeddingNearDup(uni, tau = 0.5, maxBucket = 8)
+        .select("id_a", "id_b", "truncated")
+    }),
+
+    // same property for the MinHash path: 50 identical docs -> one hot
+    // bucket per band; capped pair generation + exact-Jaccard verification
+    // must yield exactly the pairs over the 8 smallest doc ids
+    "q42_minhash_capped_bucket" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          lit("alpha beta gamma delta epsilon zeta eta theta").as("text"))
+      Dedup.minhashLsh(docs, maxBucket = 8).select("doc_a", "doc_b")
+    })
   )
 
   // ----------------------------------------------------------------- oracles
@@ -709,6 +733,20 @@ object SparkEntry {
          SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM uni a JOIN uni b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95""",
+
+    // closed-form truncation oracle: the capped bucket keeps the 8 SMALLEST
+    // of the 50 identical vectors (ids 0..7), all pairs verified at cosine
+    // 1.0, truncated exact (bucket size 50 > 8)
+    "q41_neardup_capped_bucket" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b, 1 AS truncated
+         FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) a
+         JOIN (SELECT vec_id FROM embeddings WHERE vec_id < 8) b ON a.vec_id < b.vec_id""",
+
+    // MinHash path, same property: pairs over the 8 smallest doc ids only
+    "q42_minhash_capped_bucket" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM (SELECT doc_id FROM documents WHERE doc_id < 8) a
+         JOIN (SELECT doc_id FROM documents WHERE doc_id < 8) b ON a.doc_id < b.doc_id""",
 
     // expected counters: per-format needs-update cardinality, zero errors on
     // the well-formed corpus (error isolation is pinned by PipelineSpec)
