@@ -25,16 +25,35 @@ object Dispatcher {
   val AcceptedFormats: Set[String] =
     Set("xml", "teixml", "html", "txt", "ocr", "http", "pdf", "pdf-grobid")
 
+  /** Grobid dispatch configuration: the service endpoint (the reference's
+    * GROBID_SERVICE, config.py:8 — None there by default, None here too)
+    * plus an injectable transport.
+    */
+  final case class GrobidConfig(
+      service: Option[String],
+      transport: GrobidExtractor.Transport = GrobidExtractor.defaultTransport)
+
   def extract(doc: Doc): Either[String, Extracted] =
     extract(doc, HttpExtractor.defaultTransport)
+
+  def extract(doc: Doc, transport: HttpExtractor.Transport): Either[String, Extracted] =
+    extract(doc, transport, None)
 
   /** Variant with an injectable HTTP transport (unit tests; servers behind
     * auth). Only consulted for `http`-format docs that carry NO payload
     * spans — a pre-fetched http doc (spans present) is cleaned like txt,
     * mirroring that the reference's HTTP extractor inherits the basic-text
     * parse path (extraction.py:1004-1012).
+    *
+    * `grobid`: pdf-grobid docs dispatch to [[GrobidExtractor]] when a config
+    * is supplied (reference semantics: service failures yield EMPTY fulltext,
+    * never an error). With no config — the reference's own default,
+    * config.py:8 — the row goes to the error side-channel instead, which is
+    * the one deliberate deviation: a pipeline that routes docs to a queue
+    * nobody serves should say so rather than silently emit empty documents.
     */
-  def extract(doc: Doc, transport: HttpExtractor.Transport): Either[String, Extracted] = {
+  def extract(doc: Doc, transport: HttpExtractor.Transport,
+      grobid: Option[GrobidConfig]): Either[String, Extracted] = {
     val fmt = if (doc.format == null) "" else doc.format.toLowerCase
     if (!AcceptedFormats.contains(fmt))
       return Left(s"unsupported file format: ${doc.format}")
@@ -47,7 +66,25 @@ object Dispatcher {
           }
         case "txt" | "ocr" | "http" => Right(extractText(doc))
         case "pdf"                  => Right(extractPdf(doc))
-        case "pdf-grobid"           => Left("pdf-grobid requires an external Grobid service (disabled; reference config.py:8)")
+        case "pdf-grobid" =>
+          grobid match {
+            case Some(cfg) =>
+              // payload bytes round-trip through the raw span as ISO-8859-1
+              // (byte-preserving); one POST per part, parts merged like any
+              // other multi-part doc
+              val parts = rawParts(doc).map { raw =>
+                val ft = GrobidExtractor.extract(
+                  raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+                  cfg.service, cfg.transport)
+                val spans =
+                  if (ft.nonEmpty) Vector(Span("text", ft, null, 0))
+                  else Vector.empty[Span]
+                Extracted(spans, ft, "", Vector.empty, Vector.empty)
+              }
+              Right(merge(parts))
+            case None =>
+              Left("pdf-grobid requires an external Grobid service (disabled; reference config.py:8)")
+          }
         case "html"                 => Right(extractHtml(doc))
         case "xml" | "teixml" =>
           val meta =

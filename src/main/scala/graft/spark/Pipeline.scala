@@ -125,9 +125,17 @@ object Pipeline {
     * the error side-channel (`error` column non-null) rather than task
     * failures — the reference's error-handler-queue semantics
     * (docs/Overview.md:173-175).
+    *
+    * `grobid`: deployments with a Grobid service route `pdf-grobid` docs
+    * through the external call HERE, in the typed iterator stage — blocking
+    * remote IO belongs in mapPartitions tasks (retryable, per-row error
+    * isolation), never inside the codegen'd native expression, which is why
+    * [[extractStageNative]] stays grobid-free (its pdf-grobid rows become
+    * error rows, the reference's own disabled default).
     */
   def extractStage(ds: Dataset[CheckedDoc], indexDate: java.sql.Timestamp,
-      runId: String, metrics: Option[Metrics] = None): Dataset[ExtractedDoc] = {
+      runId: String, metrics: Option[Metrics] = None,
+      grobid: Option[Dispatcher.GrobidConfig] = None): Dataset[ExtractedDoc] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       val partId = TaskContext.getPartitionId()
@@ -140,7 +148,7 @@ object Pipeline {
         val lineage = s"$runId/${cd.doc_id}"
         val doc = Doc(cd.doc_id, cd.format, cd.provider, cd.source_path,
           Option(cd.spans).getOrElse(Seq.empty), cd.update_flag, cd.src_mtime)
-        Dispatcher.extract(doc) match {
+        Dispatcher.extract(doc, graft.core.HttpExtractor.defaultTransport, grobid) match {
           case Right(r) =>
             metrics.foreach(_.extracted.add(1))
             ExtractedDoc(cd.doc_id, r.spans, r.fulltext, r.acknowledgements,
