@@ -43,7 +43,12 @@ object GrobidExtractor {
           if (resp.status == 200) Option(resp.body).getOrElse("")
           else "" // "Grobid service response error" (extraction.py:1162-1164)
         } catch {
-          case _: Throwable => "" // timeout / request exception (extraction.py:1150-1156)
+          // a task kill/cancel must propagate, not become a "successful"
+          // empty extraction — restore the interrupt flag and rethrow
+          case ie: InterruptedException =>
+            Thread.currentThread().interrupt(); throw ie
+          case scala.util.control.NonFatal(_) =>
+            "" // timeout / request exception (extraction.py:1150-1156)
         }
     }
     CleanText.run(xml, translateFlag = false, normaliseFlag = true, trimFlag = true)
@@ -52,25 +57,31 @@ object GrobidExtractor {
   /** Real multipart/form-data POST (JDK HttpClient). Unused in the sandbox
     * (zero egress) — injected by a deployment with a Grobid service.
     */
-  lazy val defaultTransport: Transport = { (url, field, payload) =>
-    val boundary = "----graft-" + java.util.UUID.randomUUID().toString
-    val head = (s"--$boundary\r\n" +
-      s"""Content-Disposition: form-data; name="$field"; filename="input.pdf"\r\n""" +
-      "Content-Type: application/octet-stream\r\n\r\n")
-      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-    val tail = s"\r\n--$boundary--\r\n"
-      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-    val body = new Array[Byte](head.length + payload.length + tail.length)
-    System.arraycopy(head, 0, body, 0, head.length)
-    System.arraycopy(payload, 0, body, head.length, payload.length)
-    System.arraycopy(tail, 0, body, head.length + payload.length, tail.length)
-    val client = java.net.http.HttpClient.newHttpClient()
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-      .header("Content-Type", s"multipart/form-data; boundary=$boundary")
-      .timeout(java.time.Duration.ofMillis(TimeoutMs))
-      .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
-      .build()
-    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-    HttpExtractor.Response(resp.statusCode(), resp.body())
+  lazy val defaultTransport: Transport = {
+    // ONE shared client per JVM: HttpClient owns a selector thread and a
+    // connection pool — per-request construction would churn threads/FDs
+    // and defeat keep-alive to the single Grobid endpoint. Created on first
+    // request (lazy) so referencing the transport costs nothing.
+    lazy val client = java.net.http.HttpClient.newHttpClient()
+    (url, field, payload) => {
+      val boundary = "----graft-" + java.util.UUID.randomUUID().toString
+      val head = (s"--$boundary\r\n" +
+        s"""Content-Disposition: form-data; name="$field"; filename="input.pdf"\r\n""" +
+        "Content-Type: application/octet-stream\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val tail = s"\r\n--$boundary--\r\n"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val body = new Array[Byte](head.length + payload.length + tail.length)
+      System.arraycopy(head, 0, body, 0, head.length)
+      System.arraycopy(payload, 0, body, head.length, payload.length)
+      System.arraycopy(tail, 0, body, head.length + payload.length, tail.length)
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .header("Content-Type", s"multipart/form-data; boundary=$boundary")
+        .timeout(java.time.Duration.ofMillis(TimeoutMs))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+        .build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      HttpExtractor.Response(resp.statusCode(), resp.body())
+    }
   }
 }

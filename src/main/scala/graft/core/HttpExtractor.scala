@@ -60,12 +60,17 @@ object HttpExtractor {
   /** Real network transport (JDK HttpClient). Unused in the sandbox (zero
     * egress) — injected by a deployment that actually serves http docs.
     */
-  lazy val defaultTransport: Transport = { (url, headers) =>
-    val client = java.net.http.HttpClient.newHttpClient()
-    val builder = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-    headers.foreach { case (k, v) => builder.header(k, v) }
-    val resp = client.send(builder.GET().build(),
-      java.net.http.HttpResponse.BodyHandlers.ofString())
-    Response(resp.statusCode(), resp.body())
+  lazy val defaultTransport: Transport = {
+    // one shared client per JVM (selector thread + connection pool reuse),
+    // created on FIRST request — merely referencing the transport (every
+    // Dispatcher.extract call does) must not spawn an idle selector thread
+    lazy val client = java.net.http.HttpClient.newHttpClient()
+    (url, headers) => {
+      val builder = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      headers.foreach { case (k, v) => builder.header(k, v) }
+      val resp = client.send(builder.GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      Response(resp.statusCode(), resp.body())
+    }
   }
 }

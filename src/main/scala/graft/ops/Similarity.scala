@@ -161,13 +161,15 @@ object Similarity {
     // (deterministic) file layout, and never empty for a non-empty table —
     // unlike an id-strided filter, which is an extra full scan and breaks
     // on sparse or non-zero-based ids.
-    // sized from file-count metadata (or the scheduler default for an
-    // in-memory frame) — NOT from typed.rdd.getNumPartitions, which would
-    // build the whole RDD lineage just to read a number
-    val nParts = math.max(1, math.max(emb.inputFiles.length,
-      spark.sparkContext.defaultParallelism min 64))
-    val perPart = math.max(1, (2048 + nParts - 1) / nParts)
-    val sample = typed.mapPartitions(_.take(perPart))
+    // per-partition quota from file-count METADATA (not .rdd, which would
+    // build the whole RDD lineage just to read a partition count), floored
+    // at 32 so a many-partitions-per-file layout still yields a usable
+    // sample; the limit() is the hard driver-memory bound — whatever the
+    // real partitioning turns out to be, at most 4096 rows ever reach the
+    // driver, and each scan task stops after its quota (one row group).
+    val nFiles = math.max(1, emb.inputFiles.length)
+    val perPart = math.max(32, (2048 + nFiles - 1) / nFiles)
+    val sample = typed.mapPartitions(_.take(perPart)).limit(4096)
       .collect().map(_._2.map(_.toDouble).toArray)
     require(sample.nonEmpty, "ivfAnn: empty embedding table")
     val dim = sample.head.length

@@ -48,7 +48,16 @@ object SnapshotTable {
     */
   def overwrite(df: DataFrame, tableDir: String): Long = append(df, tableDir, replace = true)
 
-  private def append(df: DataFrame, tableDir: String, replace: Boolean): Long = synchronized {
+  /** `baseOverride`: the expected `_current` content captured when the
+    * caller READ the state this commit is derived from ([[compact]]).
+    * Without it the parent check uses the pointer as of step 3 — fine for
+    * plain appends (they derive nothing from the read view beyond the
+    * manifest they re-read here), but a read-rewrite-commit cycle must pin
+    * the pointer it actually read or a commit landing during the rewrite
+    * job would be silently clobbered.
+    */
+  private[spark] def append(df: DataFrame, tableDir: String, replace: Boolean,
+      baseOverride: Option[Option[String]] = None): Long = synchronized {
     val spark = df.sparkSession
     val hfs = fs(spark, tableDir)
     val uuid = java.util.UUID.randomUUID().toString
@@ -68,7 +77,7 @@ object SnapshotTable {
     // 3. next manifest = (previous ++ new) or just new (overwrite). The
     //    pointer name read HERE is the commit's expected parent — the swap
     //    below refuses to clobber a pointer someone else advanced meanwhile
-    val basePointer = currentPointerName(hfs, tableDir)
+    val basePointer = baseOverride.getOrElse(currentPointerName(hfs, tableDir))
     val (prevId, prevEntries) = currentManifest(spark, tableDir)
       .map { case (id, es) => (id, es) }.getOrElse((-1L, Seq.empty))
     // appending zero rows to an existing table is a no-op (no new snapshot):
@@ -125,13 +134,13 @@ object SnapshotTable {
       else spark.read.parquet(entries.map(_.path): _*)
     }
 
-  /** URI string -> path, scheme and authority dropped — the COLUMN twin of
-    * the Scala-side `new Path(uri).toUri.getPath` used on the manifest side
-    * of [[readCurrent]]'s join. Handles both authority URIs
-    * ("hdfs://nn:8020/x" -> "/x", "s3a://bucket/x" -> "/x" — scheme may
-    * contain digits) and no-authority forms ("file:/x" -> "/x"). Both join
-    * sides MUST normalize identically or the join silently drops files;
-    * [[readCurrent]] additionally fails loudly on any unmatched file.
+  /** URI string -> path, scheme and authority dropped, ENCODING PRESERVED —
+    * the COLUMN twin of the Scala-side `new Path(uri).toUri.getRawPath`
+    * used on the manifest side of [[readCurrent]]'s join. Handles both
+    * authority URIs ("hdfs://nn:8020/x" -> "/x", "s3a://bucket/x" -> "/x" —
+    * scheme may contain digits) and no-authority forms ("file:/x" -> "/x").
+    * Both join sides MUST normalize identically or the join silently drops
+    * files; [[readCurrent]] additionally fails loudly on any unmatched file.
     */
   private def normalizePathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
@@ -166,8 +175,13 @@ object SnapshotTable {
         import org.apache.spark.sql.functions._
         import spark.implicits._
         val df = spark.read.parquet(entries.map(_.path): _*)
+        // getRawPath, NOT getPath: _metadata.file_path is URI-ENCODED
+        // ("/a b" renders "/a%20b"), so the manifest side must stay encoded
+        // too or a table path with a space/percent/non-ASCII char would
+        // match nothing (verified empirically: raw-vs-raw agrees for
+        // space, '+', and %-escapes; decode-vs-raw does not)
         val fileSnap = entries
-          .map(e => (new Path(e.path).toUri.getPath, e.snapshot))
+          .map(e => (new Path(e.path).toUri.getRawPath, e.snapshot))
           .toDF("_file", "_snapshot")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCol)
@@ -204,8 +218,16 @@ object SnapshotTable {
       case Some((_, entries)) if entries.map(_.snapshot).distinct.size <= 1 => -1L
       case Some(_) =>
         // data files are immutable, so the rewrite can read the live view
-        // while writing the new files; visibility flips only at the swap
-        readCurrent(spark, tableDir, keyCol).map(v => overwrite(v, tableDir))
+        // while writing the new files; visibility flips only at the swap.
+        // The base pointer is captured HERE — the same moment the view is
+        // read — and threaded through to the swap's parent check, so a
+        // commit landing during the (potentially long) rewrite job makes
+        // the compact REFUSE instead of silently dropping that commit's
+        // rows from the new manifest.
+        val hfs = fs(spark, tableDir)
+        val base = currentPointerName(hfs, tableDir)
+        readCurrent(spark, tableDir, keyCol)
+          .map(v => append(v, tableDir, replace = true, baseOverride = Some(base)))
           .getOrElse(-1L)
     }
 

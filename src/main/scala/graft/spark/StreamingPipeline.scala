@@ -36,9 +36,14 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // deterministic per-batch directory + overwrite => REPLAY-IDEMPOTENT
+        // sink: if the driver dies after this write but before the batch
+        // commits to the checkpoint, the replayed batch overwrites its own
+        // output instead of appending duplicates (a bare mode("append") here
+        // is only at-least-once). Readers see a batch=<id> partition column.
         Pipeline.run(batch.sparkSession, batch, prevState, None,
             indexDate, runId = s"stream-$batchId", numPartitions = numPartitions)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
   }
@@ -82,31 +87,41 @@ object StreamingPipeline {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[graft.streaming.MultipartAssembly.AssembledDoc],
          batchId: Long) =>
-        val s = batch.sparkSession
-        val docs = batch.toDF()
-          .withColumn("update_flag", lit(null).cast("string"))
-          .withColumn("src_mtime", lit(indexDate))
-        val complete = docs.filter(col("complete"))
-          .select("doc_id", "format", "provider", "source_path", "spans",
-            "update_flag", "src_mtime")
-        val out = Pipeline.run(s, complete, prevState, None, indexDate,
-          runId = s"parts-$batchId", numPartitions = numPartitions).toDF()
-        // incomplete (timeout-flushed) docs: error rows, ExtractedDoc-shaped
-        val incomplete = docs.filter(!col("complete")).select(
-          col("doc_id"),
-          col("spans"),
-          lit(null).cast("string").as("fulltext"),
-          lit(null).cast("string").as("acknowledgements"),
-          lit(Array.empty[String]).as("dataset"),
-          lit(Array.empty[String]).as("facility"),
-          lit(null).cast("string").as("update_reason"),
-          lit(indexDate).as("index_date"),
-          col("format"),
-          lit(-1).as("part_id"),
-          concat_ws("/", lit(s"parts-$batchId"), col("doc_id")).as("lineage"),
-          concat(lit("multipart incomplete: missing parts "),
-            to_json(col("missing"))).as("error"))
-        out.unionByName(incomplete).write.mode("append").parquet(outDir)
+        // the body consumes the batch through TWO branches (complete /
+        // incomplete) — persist so the stateful assembly subtree executes
+        // once per micro-batch, not once per branch
+        batch.persist()
+        try {
+          val s = batch.sparkSession
+          val docs = batch.toDF()
+            .withColumn("update_flag", lit(null).cast("string"))
+            .withColumn("src_mtime", lit(indexDate))
+          val complete = docs.filter(col("complete"))
+            .select("doc_id", "format", "provider", "source_path", "spans",
+              "update_flag", "src_mtime")
+          val out = Pipeline.run(s, complete, prevState, None, indexDate,
+            runId = s"parts-$batchId", numPartitions = numPartitions).toDF()
+          // incomplete (timeout-flushed) docs: error rows, ExtractedDoc-shaped
+          val incomplete = docs.filter(!col("complete")).select(
+            col("doc_id"),
+            col("spans"),
+            lit(null).cast("string").as("fulltext"),
+            lit(null).cast("string").as("acknowledgements"),
+            lit(Array.empty[String]).as("dataset"),
+            lit(Array.empty[String]).as("facility"),
+            lit(null).cast("string").as("update_reason"),
+            lit(indexDate).as("index_date"),
+            col("format"),
+            lit(-1).as("part_id"),
+            concat_ws("/", lit(s"parts-$batchId"), col("doc_id")).as("lineage"),
+            concat(lit("multipart incomplete: missing parts "),
+              to_json(col("missing"))).as("error"))
+          // replay-idempotent sink: deterministic per-batch dir + overwrite
+          // (cf. run() above) — a batch replayed after a pre-checkpoint
+          // crash overwrites its own output, never duplicates it
+          out.unionByName(incomplete)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        } finally batch.unpersist()
       }
       .start()
   }

@@ -125,7 +125,16 @@ class OpsSpec extends AnyFunSuite {
       (i.toLong, (0 until 30).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
     val before = spark.sparkContext.getPersistentRDDs.keySet // other suites may cache
     Dedup.ngramJaccardPairs(docs).count()
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // suites share the session and run concurrently — a streaming suite's
+    // transient per-micro-batch persist() can appear in this window, so a
+    // genuine leak is an entry that STAYS cached, not one that flickers
+    val deadline = System.nanoTime() + 10_000_000_000L
+    var leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      leaked = (spark.sparkContext.getPersistentRDDs.keySet -- before)
+        .intersect(leaked) // only entries persisted since `before` AND still cached
+    }
     assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
   }
 

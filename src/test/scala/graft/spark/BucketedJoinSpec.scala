@@ -102,7 +102,9 @@ class BucketedJoinSpec extends AnyFunSuite {
       val plan = classified.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange hashpartitioning"), s"shuffles:\n$plan")
       assert(plan.contains("SortMergeJoin"), plan)
-      assert(!plan.contains("+- Sort "), s"Sort survived the flag:\n$plan")
+      // a Sort node renders as "+- Sort [" or ":- Sort [" depending on its
+      // branch position — reject both
+      assert(!plan.matches("(?s).*[-+:]- Sort \\[.*"), s"Sort survived the flag:\n$plan")
 
       val expected = Checker.classify(input, prev)
         .select("doc_id", "update_reason", "route")

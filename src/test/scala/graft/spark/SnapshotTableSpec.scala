@@ -210,6 +210,29 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, table).get.count() == 2)
   }
 
+  test("compact pins the base it READ: a commit landing during the rewrite makes it refuse") {
+    import spark.implicits._
+    val table = tmpTable()
+    SnapshotTable.commit(Seq(("a", 1)).toDF("doc_id", "v"), table)
+    SnapshotTable.commit(Seq(("b", 2)).toDF("doc_id", "v"), table)
+    // compact's exact sequence, interleaved: capture base + view, then a
+    // concurrent commit advances the pointer DURING the rewrite, then the
+    // rewrite commits against the stale base -> must refuse, not clobber
+    val hfs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = Some(scala.io.Source.fromFile(s"$table/_current").mkString.trim)
+    val view = SnapshotTable.readCurrent(spark, table).get
+    SnapshotTable.commit(Seq(("c", 3)).toDF("doc_id", "v"), table) // concurrent writer
+    intercept[java.util.ConcurrentModificationException](
+      SnapshotTable.append(view, table, replace = true, baseOverride = Some(base)))
+    // the concurrent commit's rows are still in the table
+    assert(SnapshotTable.read(spark, table).get.count() == 3)
+    // retrying the compact on the new base succeeds and keeps all rows
+    assert(SnapshotTable.compact(spark, table) == 3L)
+    assert(SnapshotTable.readCurrent(spark, table).get
+      .as[(String, Int)].collect().toSet == Set(("a", 1), ("b", 2), ("c", 3)))
+  }
+
   test("readCurrent resolves same-snapshot duplicate keys deterministically") {
     import spark.implicits._
     val table = tmpTable()
