@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.ExtractedDoc
 import graft.gen.{SpanGen, Synth}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, WebOps}
 import graft.spark.{Checker, CheckedDoc, Pipeline, TextFunctions}
 
 /** Driver contract: every operator of SURVEY.md §2 surfaces here as a named
@@ -367,6 +367,77 @@ object SparkEntry {
         .select(col("doc_id"),
           lit("alpha beta gamma delta epsilon zeta eta theta").as("text"))
       Dedup.minhashLsh(docs, maxBucket = 8).select("doc_a", "doc_b")
+    }),
+
+    // C4-style filters over planted defects: %13==0 boilerplate (lorem +
+    // brace + ellipsis — ordered CASE picks boilerplate), %13==1 digit-
+    // flooded (low-alpha), %13==2 three words (too-short), %13==3 ellipsis
+    // only; everything else keeps. Features are integers so the compare is
+    // hash-exact.
+    "q43_quality_filters" -> ((s, dir) => {
+      val planted = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0,
+            concat(lit("lorem ipsum obj { var } ... "), col("text")))
+            .when(col("doc_id") % 13 === 1,
+              concat(lit("one two three four "),
+                concat_ws(" ", transform(sequence(lit(1), lit(30)),
+                  i => (col("doc_id") * i).cast("string")))))
+            .when(col("doc_id") % 13 === 2, lit("tiny short doc"))
+            .when(col("doc_id") % 13 === 3, concat(col("text"), lit(" wait ... more")))
+            .otherwise(col("text")))
+      TextAnalysis.qualityFilters(planted)
+        .select("doc_id", "n_words", "n_alpha_words", "alpha_frac_x100",
+          "n_braces", "n_ellipsis", "has_lorem", "c4_flag")
+    }),
+
+    // incremental-ingest dedup: store = hashes of docs < 200; batch = docs
+    // >= 200 plus re-keyed copies of 100-149 (already in the store -> all
+    // dropped) and of 200-219 (within-batch duplicates -> first id wins)
+    "q44_incremental_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val seen = docs.filter(col("doc_id") < 200)
+        .select(md5(col("text")).as("text_hash"))
+      val batch = docs.filter(col("doc_id") >= 200)
+        .unionAll(docs.filter(col("doc_id").between(100, 149))
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+        .unionAll(docs.filter(col("doc_id").between(200, 219))
+          .withColumn("doc_id", col("doc_id") + 2000000L))
+      Dedup.incrementalExact(batch, seen).select("doc_id", "text_hash")
+    }),
+
+    // URL/domain curation: deterministic per-source URLs, two hosts
+    // blocklisted (codegen'd IN predicate), per-host + registered-domain
+    // counts
+    "q45_domain_stats" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("url",
+          concat(lit("https://"), col("source"), lit(".example.com/d/"), col("doc_id")))
+      val kept = WebOps.blocklistFilter(docs, Seq("src3.example.com", "src7.example.com"))
+      WebOps.domainCounts(kept)
+        .withColumn("domain", WebOps.registeredDomain(col("host")))
+        .select("host", "domain", "n_docs")
+    }),
+
+    // corpus document frequency: top-20 terms by distinct-doc count,
+    // (doc_freq desc, term asc) tie-break makes the top-k set exact
+    "q46_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(s.read.parquet(s"$dir/documents.parquet"), k = 20)),
+
+    // streaming first-arrival dedup in its BATCH statement (the stream's
+    // convergence point; cross-micro-batch behavior is covered by
+    // StreamingDedupSpec): planted re-arrivals of docs < 100 at +10 min
+    // event time must all be dropped
+    "q47_streaming_dedup" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("event_time",
+          expr("timestampadd(SECOND, doc_id % 3600, timestamp'2020-01-01 00:00:00')"))
+        .select("doc_id", "text", "event_time")
+      val redelivered = base.filter(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("event_time", col("event_time") + expr("INTERVAL 10 MINUTES"))
+      graft.streaming.StreamingDedup.firstArrival(base.unionAll(redelivered))
+        .select("doc_id")
     })
   )
 
@@ -760,6 +831,84 @@ object SparkEntry {
           WHERE update_reason IN ('MISSING_FULL_TEXT','DIFFERING_FULL_TEXT','STALE_CONTENT',
             'STALE_META','NOT_EXTRACTED_BEFORE','FORCE_TO_EXTRACT','FORCE_TO_SEND')
           GROUP BY 1""",
+
+    // same planting arithmetic, same anchored-char-class regexes, same
+    // length-difference brace/ellipsis counts, same ORDERED flag CASE
+    "q43_quality_filters" ->
+      s"""WITH p AS (
+            SELECT doc_id, CASE
+              WHEN doc_id % 13 = 0 THEN 'lorem ipsum obj { var } ... ' || text
+              WHEN doc_id % 13 = 1 THEN 'one two three four ' ||
+                array_to_string(list_transform(generate_series(1, 30), i -> (doc_id * i)::VARCHAR), ' ')
+              WHEN doc_id % 13 = 2 THEN 'tiny short doc'
+              WHEN doc_id % 13 = 3 THEN text || ' wait ... more'
+              ELSE text END AS text
+            FROM documents),
+          f AS (SELECT doc_id, text, $WORDS AS ws FROM p),
+          g AS (SELECT doc_id,
+                  len(ws) AS n_words,
+                  len(list_filter(ws, w -> regexp_matches(w, '^[A-Za-z]+$$'))) AS n_alpha_words,
+                  CASE WHEN len(ws) > 0
+                    THEN ((len(list_filter(ws, w -> regexp_matches(w, '^[A-Za-z]+$$'))) * 100) // len(ws))::BIGINT
+                    ELSE 0 END AS alpha_frac_x100,
+                  len(text) - len(regexp_replace(text, '\\{', '', 'g')) AS n_braces,
+                  ((len(text) - len(regexp_replace(text, '\\.\\.\\.', '', 'g'))) // 3)::INT AS n_ellipsis,
+                  CASE WHEN contains(text, 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem
+                FROM f)
+          SELECT doc_id, n_words, n_alpha_words, alpha_frac_x100, n_braces, n_ellipsis, has_lorem,
+            CASE WHEN n_words < 20 THEN 'too-short'
+                 WHEN has_lorem = 1 OR n_braces > 0 THEN 'boilerplate'
+                 WHEN n_ellipsis > 0 THEN 'ellipsis'
+                 WHEN alpha_frac_x100 < 80 THEN 'low-alpha'
+                 ELSE 'keep' END AS c4_flag
+          FROM g""",
+
+    // md5 hex agrees between engines; first-id-per-hash within the batch,
+    // then anti-join against the store's distinct hashes
+    "q44_incremental_dedup" ->
+      """WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 200),
+         batch AS (
+           SELECT doc_id, text FROM documents WHERE doc_id >= 200
+           UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id BETWEEN 100 AND 149
+           UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id BETWEEN 200 AND 219),
+         dd AS (SELECT doc_id, md5(text) AS text_hash,
+                row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM batch)
+         SELECT doc_id, text_hash FROM dd
+         WHERE rn = 1 AND text_hash NOT IN (SELECT h FROM seen)""",
+
+    // same host-extraction regex, same blocklist, same two-label domain rule
+    "q45_domain_stats" ->
+      """WITH u AS (
+           SELECT lower(regexp_extract('https://' || source || '.example.com/d/' || doc_id::VARCHAR,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host
+           FROM documents),
+         k AS (SELECT host FROM u WHERE host NOT IN ('src3.example.com', 'src7.example.com')),
+         c AS (SELECT host, count(*) AS n_docs FROM k GROUP BY 1)
+         SELECT host,
+           CASE WHEN len(string_split(host, '.')) >= 2
+             THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+             ELSE host END AS domain,
+           n_docs
+         FROM c""",
+
+    "q46_top_terms" ->
+      s"""SELECT term, count(*) AS doc_freq
+          FROM (SELECT doc_id, unnest(list_distinct($WORDS)) AS term FROM documents) t
+          GROUP BY term ORDER BY doc_freq DESC, term LIMIT 20""",
+
+    // first arrival per content hash by (event time, id) — the stream's
+    // convergence semantics stated as a window
+    "q47_streaming_dedup" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+             TIMESTAMP '2020-01-01 00:00:00' + INTERVAL ((doc_id % 3600)) SECOND AS et
+           FROM documents),
+         uni AS (SELECT * FROM base
+                 UNION ALL
+                 SELECT doc_id + 1000000, text, et + INTERVAL 10 MINUTE FROM base WHERE doc_id < 100),
+         r AS (SELECT doc_id,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY et, doc_id) AS rn FROM uni)
+         SELECT doc_id FROM r WHERE rn = 1""",
 
     "q23_format_media_stats" ->
       """SELECT CASE WHEN doc_id % 10 IN (0,1) THEN 'txt' WHEN doc_id % 10 = 2 THEN 'ocr'

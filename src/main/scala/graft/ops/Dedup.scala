@@ -22,6 +22,32 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
 
+  /** Incremental-ingest exact dedup: drop new-batch docs whose content hash
+    * already exists in the historical fingerprint store, AND collapse
+    * duplicates arriving within the batch itself (first id per hash wins —
+    * deterministic, so reruns are idempotent). Returns the surviving rows
+    * plus their `text_hash`, which the caller appends back to the store so
+    * the next batch dedups against it — the standing pattern for a corpus
+    * that grows by daily crawls.
+    *
+    * Scale shape: the within-batch window and the anti-join share the same
+    * key (`text_hash`), so the batch side is shuffled ONCE and the join
+    * reuses that partitioning; the store side ships only its hash column
+    * (one narrow shuffle of 32 bytes/row, or a broadcast when the store is
+    * still small — AQE decides from runtime sizes). No driver-side state,
+    * no collect.
+    */
+  def incrementalExact(newDocs: DataFrame, seenHashes: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val hashed = newDocs.withColumn("text_hash", md5(col(textCol)))
+    val firstPerHash = hashed
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy("text_hash").orderBy(col(idCol))))
+      .filter(col("_rn") === 1).drop("_rn")
+    firstPerHash.join(
+      seenHashes.select(col("text_hash")).distinct(), Seq("text_hash"), "left_anti")
+  }
+
   /** Distinct word n-gram shingles per doc, exploded to (doc_id, shingle).
     * Codegen'd column expressions only — no UDF.
     */

@@ -148,6 +148,59 @@ object TextAnalysis {
           CardRe, "<CARD>"))
   }
 
+  /** C4-style document filters (Raffel et al. 2020 §2.2's heuristics,
+    * restated over a single-line corpus): integer-valued features — word
+    * count, purely-alphabetic word count and its per-mille-free x100
+    * fraction, brace count, ellipsis count, boilerplate marker — and an
+    * ORDERED filter flag (first failing rule wins, so the flag is a total
+    * function of the features and an oracle can replay the CASE exactly).
+    * Pure column expressions: one scan, whole-stage codegen, no shuffle —
+    * the per-doc cost is O(len) regardless of corpus size, so the plan is
+    * a map-only pass at any scale.
+    */
+  def qualityFilters(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    val nWords = size(ws)
+    // full-match alphabetic test: anchored char-class regex agrees between
+    // Java regex and RE2 (no lookaround, no backtracking sensitivity)
+    val nAlpha = size(filter(ws, w => w.rlike("^[A-Za-z]+$")))
+    val alphaFrac = when(nWords > 0, floor(nAlpha * lit(100) / nWords)).otherwise(lit(0L))
+    // counted by length difference after replace — exact in both engines
+    val nBraces = length(t) - length(regexp_replace(t, "\\{", ""))
+    val nEllipsis = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val hasLorem = when(t.contains("lorem ipsum"), 1).otherwise(0)
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("n_alpha_words", nAlpha)
+      .withColumn("alpha_frac_x100", alphaFrac.cast("long"))
+      .withColumn("n_braces", nBraces)
+      .withColumn("n_ellipsis", nEllipsis.cast("int"))
+      .withColumn("has_lorem", hasLorem)
+      .withColumn("c4_flag",
+        when(col("n_words") < 20, "too-short")
+          .when(col("has_lorem") === 1 || col("n_braces") > 0, "boilerplate")
+          .when(col("n_ellipsis") > 0, "ellipsis")
+          .when(col("alpha_frac_x100") < 80, "low-alpha")
+          .otherwise("keep"))
+  }
+
+  /** Corpus-level document frequency: top-`k` terms by the number of
+    * DISTINCT documents containing them (the inverted-index statistic
+    * behind idf weighting and stopword discovery). One shuffle with
+    * map-side partial aggregation (explode of per-doc DISTINCT words keeps
+    * the exploded cardinality at O(doc vocabulary), not O(doc length));
+    * the global top-k is a TakeOrdered over the aggregated term counts —
+    * only k rows reach the driver, never the vocabulary. Ties broken by
+    * term so the top-k SET is deterministic and oracle-comparable.
+    */
+  def topTerms(docs: DataFrame, textCol: String = "text", k: Int = 20): DataFrame =
+    docs
+      .select(explode(array_distinct(words(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("term"))
+      .limit(k)
+
   /** Gopher-style repetition / structure statistics. The corpus text is a
     * single line, so structure is IMPOSED deterministically: the word
     * stream is cut into fixed `lineWords`-word lines (the same derivation

@@ -250,4 +250,83 @@ class OpsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Dedup.duplicateClusters(pairs))
     assert(e.getMessage.contains("numeric ids"))
   }
+
+  test("qualityFilters: ordered flag precedence and exact integer features") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "tiny short doc"), // too-short (3 words)
+      // 21 words, lorem + brace + ellipsis: too-short passes, boilerplate
+      // wins over ellipsis/low-alpha (ordered CASE)
+      (2L, "lorem ipsum { " + (0 until 18).map(i => s"w$i").mkString(" ")),
+      (3L, (0 until 20).map(i => s"w$i").mkString(" ") + " so ... continued"),
+      (4L, "one two three four " + (0 until 30).map(_ => "42").mkString(" ")), // low-alpha
+      (5L, (0 until 25).map(i => "w" * (i % 5 + 1)).mkString(" ")) // keep (pure alpha)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityFilters(docs)
+      .select("doc_id", "n_words", "alpha_frac_x100", "n_braces", "c4_flag")
+      .as[(Long, Int, Long, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._5 == "too-short")
+    assert(out(2L)._5 == "boilerplate" && out(2L)._4 == 1)
+    assert(out(3L)._5 == "ellipsis")
+    assert(out(4L)._5 == "low-alpha" && out(4L)._3 == (4L * 100 / 34))
+    assert(out(5L)._5 == "keep" && out(5L)._3 == 100L)
+  }
+
+  test("incrementalExact: store hits dropped, within-batch first id wins, hash returned") {
+    import spark.implicits._
+    val seen = Seq("already ingested").toDF("text").select(md5(col("text")).as("text_hash"))
+    val batch = Seq(
+      (10L, "already ingested"), // in the store -> dropped
+      (12L, "fresh doc a"),
+      (11L, "fresh doc a"), // within-batch dup: id 11 wins
+      (13L, "fresh doc b")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(batch, seen)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(11L, 13L))
+    // surviving hashes are exactly the new texts' hashes (appendable to the store)
+    val hashes = out.select("text_hash").as[String].collect().toSet
+    val expected = Seq("fresh doc a", "fresh doc b")
+      .toDF("text").select(md5(col("text"))).as[String].collect().toSet
+    assert(hashes == expected)
+    // rerunning the same batch against the grown store drops everything
+    val grown = seen.unionAll(out.select("text_hash"))
+    assert(Dedup.incrementalExact(batch, grown).count() == 0)
+  }
+
+  test("webops: host extraction, registered domain, both blocklist forms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://A.News.Example.COM/path?q=1"),
+      (2L, "http://blocked.org/x"),
+      (3L, "ftp://files.example.net:21/pub"),
+      (4L, "not a url at all")
+    ).toDF("doc_id", "url")
+    val hosts = docs.select(col("doc_id"), WebOps.urlHost(col("url")).as("h"),
+        WebOps.registeredDomain(WebOps.urlHost(col("url"))).as("d"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> r).toMap
+    assert(hosts(1L) == ((1L, "a.news.example.com", "example.com")))
+    assert(hosts(2L) == ((2L, "blocked.org", "blocked.org")))
+    assert(hosts(3L) == ((3L, "files.example.net", "example.net"))) // port not part of host
+    assert(hosts(4L) == ((4L, "", ""))) // non-URL -> empty, never throws
+    val bySeq = WebOps.blocklistFilter(docs, Seq("Blocked.ORG")) // list is case-normalized
+    assert(bySeq.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    val byTable = WebOps.blocklistFilter(docs,
+      Seq("blocked.org", "files.example.net").toDF("host"), "url")
+    assert(byTable.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+    assert(byTable.columns.toSeq == docs.columns.toSeq) // helper column dropped
+  }
+
+  test("topTerms: distinct-per-doc counting and (freq desc, term asc) tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple apple banana"), // apple counts ONCE for this doc
+      (2L, "apple cherry"),
+      (3L, "banana cherry date"),
+      (4L, "cherry epsilon")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topTerms(docs, k = 3).as[(String, Long)].collect().toSeq
+    // df: cherry=3, apple=2, banana=2 (ties alphabetic), date=1, epsilon=1
+    assert(out == Seq(("cherry", 3L), ("apple", 2L), ("banana", 2L)))
+  }
 }

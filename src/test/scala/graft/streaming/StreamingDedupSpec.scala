@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.SparkTestSession
+
+/** Streaming first-arrival dedup: state bounded by the event-time
+  * watermark, exactly-one emission per content hash across micro-batches.
+  * The batch statement of the same semantics (firstArrival) is oracle-gated
+  * as q47; these tests pin what the oracle can't see — cross-micro-batch
+  * arrival and agreement between the two forms.
+  */
+class StreamingDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(s: Long) = new Timestamp(1577836800000L + s * 1000L) // 2020-01-01 UTC + s
+
+  test("duplicates across micro-batches are emitted exactly once") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ddstream").toString
+    val inDir = s"$tmp/in"; val cpDir = s"$tmp/cp"
+    // wave 1: docs 0-9; wave 2: redeliveries of 0-4 (same text, later event
+    // time, new ids) plus new docs 10-14. One file per wave/trigger.
+    val wave1 = (0 until 10).map(i => (i.toLong, s"text body $i", ts(i)))
+    val wave2 = (0 until 5).map(i => (i + 1000L, s"text body $i", ts(i + 60))) ++
+      (10 until 15).map(i => (i.toLong, s"text body $i", ts(i)))
+    wave1.toDF("doc_id", "text", "event_time").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    Thread.sleep(100)
+    wave2.toDF("doc_id", "text", "event_time").coalesce(1)
+      .write.mode("append").parquet(inDir)
+
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamingDedup.dedupStream(stream, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dd_stream")
+      .option("checkpointLocation", cpDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("dd_stream")
+    // 15 distinct texts, each exactly once; the 5 redeliveries are dropped
+    assert(out.count() == 15)
+    assert(out.select("text_hash").distinct().count() == 15)
+    assert(out.filter(col("doc_id") >= 1000L).count() == 0) // first arrival won
+  }
+
+  test("batch firstArrival agrees with the streaming output set") {
+    import spark.implicits._
+    val rows = ((0 until 10).map(i => (i.toLong, s"text body $i", ts(i))) ++
+      (0 until 5).map(i => (i + 1000L, s"text body $i", ts(i + 60))) ++
+      (10 until 15).map(i => (i.toLong, s"text body $i", ts(i))))
+      .toDF("doc_id", "text", "event_time")
+    val survivors = StreamingDedup.firstArrival(rows)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == (0 until 15).map(_.toLong).toSet)
+  }
+
+  test("firstArrival tie-breaks equal event times by id (idempotent reruns)") {
+    import spark.implicits._
+    val rows = Seq(
+      (7L, "same text", ts(5)),
+      (3L, "same text", ts(5)), // equal ts: smaller id wins
+      (9L, "other", ts(1)))
+      .toDF("doc_id", "text", "event_time")
+    val survivors = StreamingDedup.firstArrival(rows)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(3L, 9L))
+  }
+}
