@@ -30,20 +30,27 @@ object Dedup {
     * the next batch dedups against it — the standing pattern for a corpus
     * that grows by daily crawls.
     *
-    * Scale shape: the within-batch window and the anti-join share the same
-    * key (`text_hash`), so the batch side is shuffled ONCE and the join
-    * reuses that partitioning; the store side ships only its hash column
-    * (one narrow shuffle of 32 bytes/row, or a broadcast when the store is
-    * still small — AQE decides from runtime sizes). No driver-side state,
+    * Scale shape: within-batch collapse is `min(struct(id, rest…))` per
+    * hash — an aggregation, NOT a window — so map-side partial aggregation
+    * collapses duplicates BEFORE the shuffle and a hot hash (millions of
+    * identical docs in one batch) costs each task one buffered row instead
+    * of one window partition. The anti-join then shares the aggregation's
+    * key, and the store side ships only its hash column (or broadcasts
+    * while small — AQE decides from runtime sizes). No driver-side state,
     * no collect.
     */
   def incrementalExact(newDocs: DataFrame, seenHashes: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val hashed = newDocs.withColumn("text_hash", md5(col(textCol)))
+    // struct comparison is lexicographic on fields, so leading with the id
+    // makes min() "first id wins"; ids are unique so later fields never
+    // decide the order, they just ride along
+    val rest = hashed.columns.filterNot(_ == "text_hash")
+    val ordered = Seq(idCol) ++ rest.filterNot(_ == idCol)
     val firstPerHash = hashed
-      .withColumn("_rn",
-        row_number().over(Window.partitionBy("text_hash").orderBy(col(idCol))))
-      .filter(col("_rn") === 1).drop("_rn")
+      .groupBy("text_hash")
+      .agg(min(struct(ordered.map(col): _*)).as("_row"))
+      .select(col("text_hash") +: rest.map(c => col(s"_row.$c").as(c)): _*)
     firstPerHash.join(
       seenHashes.select(col("text_hash")).distinct(), Seq("text_hash"), "left_anti")
   }

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact content dedup as a STREAMING stage — the continuous analog of
@@ -31,14 +30,21 @@ object StreamingDedup {
 
   /** Batch-mode statement of the same semantics (what the stream converges
     * to when arrivals respect event-time order): keep, per content hash,
-    * the earliest row by (event time, id). One window shuffle on the hash;
-    * deterministic, so an oracle can replay it and reruns are idempotent.
+    * the earliest row by (event time, id). Expressed as
+    * `min(struct(ts, id, rest…))` per hash — an aggregation with map-side
+    * partial aggregation, not a window — so a hot hash collapses on the
+    * map side instead of landing as one giant window partition on a single
+    * task. Deterministic (ids unique), so an oracle can replay it and
+    * reruns are idempotent.
     */
   def firstArrival(docs: DataFrame, textCol: String = "text",
-      tsCol: String = "event_time", idCol: String = "doc_id"): DataFrame =
-    docs
-      .withColumn("text_hash", md5(col(textCol)))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("text_hash").orderBy(col(tsCol), col(idCol))))
-      .filter(col("_rn") === 1).drop("_rn")
+      tsCol: String = "event_time", idCol: String = "doc_id"): DataFrame = {
+    val hashed = docs.withColumn("text_hash", md5(col(textCol)))
+    val rest = hashed.columns.filterNot(_ == "text_hash")
+    val ordered = Seq(tsCol, idCol) ++ rest.filterNot(c => c == tsCol || c == idCol)
+    hashed
+      .groupBy("text_hash")
+      .agg(min(struct(ordered.map(col): _*)).as("_row"))
+      .select(rest.map(c => col(s"_row.$c").as(c)) :+ col("text_hash"): _*)
+  }
 }

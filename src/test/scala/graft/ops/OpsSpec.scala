@@ -282,6 +282,11 @@ class OpsSpec extends AnyFunSuite {
       (13L, "fresh doc b")
     ).toDF("doc_id", "text")
     val out = Dedup.incrementalExact(batch, seen)
+    // skew-safe shape: an aggregation with map-side partial_min, never a
+    // window (a hot hash must collapse before the shuffle)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
     val ids = out.select("doc_id").as[Long].collect().toSet
     assert(ids == Set(11L, 13L))
     // surviving hashes are exactly the new texts' hashes (appendable to the store)

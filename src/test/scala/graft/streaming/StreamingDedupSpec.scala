@@ -58,8 +58,12 @@ class StreamingDedupSpec extends AnyFunSuite {
       (0 until 5).map(i => (i + 1000L, s"text body $i", ts(i + 60))) ++
       (10 until 15).map(i => (i.toLong, s"text body $i", ts(i))))
       .toDF("doc_id", "text", "event_time")
-    val survivors = StreamingDedup.firstArrival(rows)
-      .select("doc_id").as[Long].collect().toSet
+    val out = StreamingDedup.firstArrival(rows)
+    // skew-safe shape: map-side partial aggregation, no window partition
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+    val survivors = out.select("doc_id").as[Long].collect().toSet
     assert(survivors == (0 until 15).map(_.toLong).toSet)
   }
 
