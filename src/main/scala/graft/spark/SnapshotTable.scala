@@ -231,6 +231,96 @@ object SnapshotTable {
           .getOrElse(-1L)
     }
 
+  /** Commit history: (snapshot id, manifest name), ascending. Every commit
+    * leaves its manifest on disk (until [[vacuum]]), so the full lineage of
+    * the table is enumerable from metadata alone.
+    */
+  def history(spark: SparkSession, tableDir: String): Seq[(Long, String)] = {
+    val hfs = fs(spark, tableDir)
+    val dir = new Path(s"$tableDir/manifests")
+    if (!hfs.exists(dir)) Seq.empty
+    else hfs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("manifest-") && n.endsWith(".tsv"))
+      .map(n => (n.stripPrefix("manifest-").take(6).toLong, n))
+      .sortBy(_._1)
+  }
+
+  /** Time travel: the table as of snapshot `snapshotId` — the view a
+    * [[read]] at that commit returned. Metadata-only resolution (one
+    * manifest read); data files are immutable so the historical view is
+    * exact until [[vacuum]] reclaims it. None when the snapshot never
+    * existed or its manifest has been vacuumed.
+    */
+  def readAt(spark: SparkSession, tableDir: String, snapshotId: Long): Option[DataFrame] = {
+    val hfs = fs(spark, tableDir)
+    history(spark, tableDir).find(_._1 == snapshotId).map { case (_, name) =>
+      val entries = parseManifest(
+        readFile(hfs, new Path(s"$tableDir/manifests/$name")), snapshotId, name)
+      if (entries.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(entries.map(_.path): _*)
+    }
+  }
+
+  /** Reclaim storage: drop manifests older than the newest `keepLast`
+    * snapshots, then delete data files no RETAINED manifest references.
+    * Returns (data files deleted, manifests deleted).
+    *
+    * Two safety rails, both needed at scale:
+    *  - the live manifest is always retained (`keepLast >= 1` enforced), so
+    *    [[read]]/[[readCurrent]] are never touched — vacuum only trades
+    *    HISTORY ([[readAt]] beyond the horizon) for space;
+    *  - only files older than `olderThanMs` are deleted (Iceberg's
+    *    orphan-file rule): a concurrent writer between its data-file write
+    *    and its pointer swap has files referenced by NO manifest yet, and
+    *    the age guard is what keeps vacuum from eating that in-flight
+    *    commit. Run with a horizon comfortably above the longest commit
+    *    (default 7 days); 0 only in single-writer tests.
+    */
+  def vacuum(spark: SparkSession, tableDir: String, keepLast: Int = 1,
+      olderThanMs: Long = 7L * 24 * 3600 * 1000): (Int, Int) = synchronized {
+    require(keepLast >= 1, "vacuum must retain at least the live snapshot")
+    val hfs = fs(spark, tableDir)
+    val all = history(spark, tableDir)
+    if (all.isEmpty) return (0, 0)
+    val cutoffId = all.map(_._1).max - (keepLast - 1)
+    val deadline = System.currentTimeMillis() - olderThanMs
+    val (drop, keep) = all.partition(_._1 < cutoffId)
+    // union of every retained manifest's file set — a file named by ANY
+    // kept snapshot survives
+    val referenced = keep.flatMap { case (id, name) =>
+      parseManifest(readFile(hfs, new Path(s"$tableDir/manifests/$name")), id, name)
+        .map(e => new Path(e.path).toUri.getRawPath)
+    }.toSet
+    val dataRoot = new Path(s"$tableDir/data")
+    var filesDeleted = 0
+    if (hfs.exists(dataRoot)) {
+      for (commitDir <- hfs.listStatus(dataRoot).toSeq if commitDir.isDirectory) {
+        val children = hfs.listStatus(commitDir.getPath).toSeq
+        // only parquet data files are candidates — job markers (_SUCCESS)
+        // ride with their directory and go when the last data file goes
+        for (f <- children if f.isFile && f.getPath.getName.endsWith(".parquet")
+             if !referenced.contains(f.getPath.toUri.getRawPath)
+             if f.getModificationTime < deadline) {
+          if (hfs.delete(f.getPath, false)) filesDeleted += 1
+        }
+        // a commit dir holding no parquet anymore is only markers: reclaim
+        // it whole (age-guarded by its own mtime-newest child)
+        val remaining = hfs.listStatus(commitDir.getPath).toSeq
+        if (!remaining.exists(_.getPath.getName.endsWith(".parquet")) &&
+            remaining.forall(_.getModificationTime < deadline))
+          hfs.delete(commitDir.getPath, true): Unit
+      }
+    }
+    var manifestsDeleted = 0
+    for ((_, name) <- drop) {
+      val p = new Path(s"$tableDir/manifests/$name")
+      if (hfs.getFileStatus(p).getModificationTime < deadline && hfs.delete(p, false))
+        manifestsDeleted += 1
+    }
+    (filesDeleted, manifestsDeleted)
+  }
+
   /** Per-file lineage of the live snapshot: (file, rows, bytes). */
   def lineage(spark: SparkSession, tableDir: String): Seq[FileEntry] =
     currentManifest(spark, tableDir).map(_._2).getOrElse(Seq.empty)
@@ -249,23 +339,26 @@ object SnapshotTable {
     else {
       val name = readFile(hfs, ptr).trim
       val id = name.stripPrefix("manifest-").take(6).toLong
-      val entries = readFile(hfs, new Path(s"$tableDir/manifests/$name"))
-        .split('\n').toSeq.filter(_.nonEmpty).map { line =>
-          line.split('\t') match {
-            // current format: path \t rows \t bytes \t snapshot
-            case Array(p, r, b, s) => FileEntry(p, r.toLong, b.toLong, s.toLong)
-            // legacy pre-snapshot-column format (path \t rows \t bytes):
-            // attribute every file to the manifest's own id so old tables
-            // stay readable AND appendable (merge-on-read sees one snapshot,
-            // which matches what the legacy format could express)
-            case Array(p, r, b) => FileEntry(p, r.toLong, b.toLong, id)
-            case other => throw new java.io.IOException(
-              s"malformed manifest line (${other.length} fields) in $name: $line")
-          }
-        }
+      val entries = parseManifest(
+        readFile(hfs, new Path(s"$tableDir/manifests/$name")), id, name)
       Some((id, entries))
     }
   }
+
+  private def parseManifest(content: String, id: Long, name: String): Seq[FileEntry] =
+    content.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      line.split('\t') match {
+        // current format: path \t rows \t bytes \t snapshot
+        case Array(p, r, b, s) => FileEntry(p, r.toLong, b.toLong, s.toLong)
+        // legacy pre-snapshot-column format (path \t rows \t bytes):
+        // attribute every file to the manifest's own id so old tables
+        // stay readable AND appendable (merge-on-read sees one snapshot,
+        // which matches what the legacy format could express)
+        case Array(p, r, b) => FileEntry(p, r.toLong, b.toLong, id)
+        case other => throw new java.io.IOException(
+          s"malformed manifest line (${other.length} fields) in $name: $line")
+      }
+    }
 
   private def footerRowCount(spark: SparkSession, file: Path): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile

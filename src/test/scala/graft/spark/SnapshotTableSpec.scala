@@ -233,6 +233,57 @@ class SnapshotTableSpec extends AnyFunSuite {
       .as[(String, Int)].collect().toSet == Set(("a", 1), ("b", 2), ("c", 3)))
   }
 
+  test("time travel: readAt reproduces each commit's view from metadata alone") {
+    import spark.implicits._
+    val table = tmpTable()
+    SnapshotTable.commit(Seq(("a", 1)).toDF("doc_id", "v"), table) // snapshot 0
+    SnapshotTable.commit(Seq(("b", 2)).toDF("doc_id", "v"), table) // snapshot 1
+    SnapshotTable.overwrite(Seq(("c", 3)).toDF("doc_id", "v"), table) // snapshot 2
+    assert(SnapshotTable.history(spark, table).map(_._1) == Seq(0L, 1L, 2L))
+    def at(id: Long) = SnapshotTable.readAt(spark, table, id).get
+      .as[(String, Int)].collect().toSet
+    assert(at(0) == Set(("a", 1)))
+    assert(at(1) == Set(("a", 1), ("b", 2)))
+    assert(at(2) == Set(("c", 3)))
+    // the live read IS the newest snapshot's view
+    assert(SnapshotTable.read(spark, table).get.as[(String, Int)].collect().toSet == at(2))
+    assert(SnapshotTable.readAt(spark, table, 99).isEmpty)
+  }
+
+  test("vacuum reclaims unreferenced files/manifests but never the retained horizon") {
+    import spark.implicits._
+    val table = tmpTable()
+    SnapshotTable.commit(Seq(("a", 1)).toDF("doc_id", "v"), table) // snapshot 0
+    SnapshotTable.commit(Seq(("b", 2)).toDF("doc_id", "v"), table) // snapshot 1
+    SnapshotTable.overwrite(Seq(("c", 3)).toDF("doc_id", "v"), table) // snapshot 2
+
+    // age guard: nothing is old enough -> nothing deleted, history intact
+    assert(SnapshotTable.vacuum(spark, table, keepLast = 1,
+      olderThanMs = 3600L * 1000) == ((0, 0)))
+    assert(SnapshotTable.history(spark, table).size == 3)
+
+    // keepLast=2: manifest 0 dropped, but its files survive because
+    // manifest 1 (retained) still references them — readAt(1) intact
+    val (f2, m2) = SnapshotTable.vacuum(spark, table, keepLast = 2, olderThanMs = 0)
+    assert(m2 == 1 && f2 == 0)
+    assert(SnapshotTable.readAt(spark, table, 0).isEmpty)
+    assert(SnapshotTable.readAt(spark, table, 1).get
+      .as[(String, Int)].collect().toSet == Set(("a", 1), ("b", 2)))
+
+    // keepLast=1: only the live overwrite snapshot survives; the a/b data
+    // files are now unreferenced and reclaimed, the live view untouched
+    val (f1, m1) = SnapshotTable.vacuum(spark, table, keepLast = 1, olderThanMs = 0)
+    assert(m1 == 1 && f1 >= 2)
+    assert(SnapshotTable.readAt(spark, table, 1).isEmpty)
+    assert(SnapshotTable.read(spark, table).get
+      .as[(String, Int)].collect().toSet == Set(("c", 3)))
+    assert(SnapshotTable.readCurrent(spark, table).get
+      .as[(String, Int)].collect().toSet == Set(("c", 3)))
+    // appends keep working on the vacuumed table
+    SnapshotTable.commit(Seq(("d", 4)).toDF("doc_id", "v"), table)
+    assert(SnapshotTable.read(spark, table).get.count() == 2)
+  }
+
   test("readCurrent resolves same-snapshot duplicate keys deterministically") {
     import spark.implicits._
     val table = tmpTable()
