@@ -16,21 +16,45 @@ object StreamingPipeline {
   /** File-source stream of input docs -> extraction -> parquet append.
     * `Trigger.AvailableNow` drains what exists and stops (the bulk-ingest
     * run.py mode); pass a ProcessingTime trigger for continuous service.
+    *
+    * `dedupWithin`: when set, an upstream at-least-once producer's
+    * redeliveries (same doc_id + spans, re-enqueued by a retry — the
+    * reference's one-retry Celery queue, tasks.py:21-27) are suppressed
+    * BEFORE extraction by a watermark-bounded first-arrival dedup keyed on
+    * md5 of (keys in `dedupKey`), with the dedup state checkpointed
+    * alongside the source offsets — one recovery domain. State is O(docs
+    * per watermark window); redeliveries farther apart than the delay fall
+    * through to the sink-side anti-join, which stays the end-to-end
+    * idempotence backstop.
     */
   def run(spark: SparkSession, inputDir: String, outDir: String,
       checkpointDir: String, prevState: DataFrame,
       indexDate: java.sql.Timestamp, numPartitions: Int = 32,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      dedupWithin: Option[String] = None,
+      dedupKey: Seq[String] = Seq("doc_id", "spans"),
+      dedupEventCol: String = "src_mtime"): StreamingQuery = {
+    import org.apache.spark.sql.functions._
 
     val schema = spark.read.parquet(inputDir).schema
     val reader = spark.readStream.schema(schema)
     // backpressure: the reference producer stops enqueueing past
     // max_queue_size (run.py:107-109); the streaming analog bounds batch size
-    val stream = maxFilesPerTrigger
+    val raw = maxFilesPerTrigger
       .map(n => reader.option("maxFilesPerTrigger", n))
       .getOrElse(reader)
       .parquet(inputDir)
+
+    val stream = dedupWithin match {
+      case None => raw
+      case Some(delay) =>
+        raw
+          .withColumn("_dedup_hash", md5(to_json(struct(dedupKey.map(col): _*))))
+          .withWatermark(dedupEventCol, delay)
+          .dropDuplicatesWithinWatermark("_dedup_hash")
+          .drop("_dedup_hash")
+    }
 
     stream.writeStream
       .option("checkpointLocation", checkpointDir)

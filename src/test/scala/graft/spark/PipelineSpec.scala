@@ -212,6 +212,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming redelivery dedup: re-enqueued docs extract once under one checkpoint") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ddpipe").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cpDir = s"$tmp/cp"
+    val input = SpanGen.checkerDocs(spark, dir).toDF().limit(40).cache()
+    // wave 1: 40 docs; wave 2 (later micro-batch): 15 of them REDELIVERED
+    // verbatim — the at-least-once upstream retry shape
+    input.coalesce(1).write.mode("append").parquet(inDir)
+    Thread.sleep(100)
+    input.limit(15).coalesce(1).write.mode("append").parquet(inDir)
+    val prev = SpanGen.prevState(spark, dir)
+    val q = StreamingPipeline.run(spark, inDir, outDir, cpDir, prev, ts,
+      numPartitions = 4, maxFilesPerTrigger = Some(1),
+      dedupWithin = Some("1 hour"))
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir).select("doc_id", "fulltext")
+    // exactly the single-delivery batch result: nothing extracted twice
+    assert(streamed.count() == streamed.select("doc_id").distinct().count())
+    val batch = Pipeline.run(spark, input, prev, None, ts, "dd", 4)
+      .toDF().select("doc_id", "fulltext")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming foreachBatch produces the same rows as the batch pipeline") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cpDir = s"$tmp/cp"
