@@ -438,7 +438,14 @@ object SparkEntry {
         .withColumn("event_time", col("event_time") + expr("INTERVAL 10 MINUTES"))
       graft.streaming.StreamingDedup.firstArrival(base.unionAll(redelivered))
         .select("doc_id")
-    })
+    }),
+
+    // symmetric int8 quantization, integer-valued outputs (quant vector +
+    // floor(max reconstruction error * 1e7)) with a fixed double operation
+    // order, so the oracle reproduces every component bit-for-bit
+    "q48_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(s.read.parquet(s"$dir/embeddings.parquet"))
+        .select("vec_id", "quant", "max_err_x1e7"))
   )
 
   // ----------------------------------------------------------------- oracles
@@ -909,6 +916,24 @@ object SparkEntry {
          r AS (SELECT doc_id,
                row_number() OVER (PARTITION BY md5(text) ORDER BY et, doc_id) AS rn FROM uni)
          SELECT doc_id FROM r WHERE rn = 1""",
+
+    // identical arithmetic and operation order in IEEE double: scale =
+    // list_max(abs), q = floor(v*127/s + 0.5), err = abs(v - q*s/127)
+    "q48_quantize_int8" ->
+      """WITH b AS (
+           SELECT vec_id, embedding,
+             list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS s
+           FROM embeddings),
+         q AS (
+           SELECT vec_id, embedding, s,
+             list_transform(embedding, v -> CASE WHEN s = 0 THEN 0
+               ELSE floor(v::DOUBLE * 127 / s + 0.5)::INT END) AS quant
+           FROM b)
+         SELECT vec_id, quant,
+           floor(list_max(list_transform(generate_series(1, len(embedding)),
+             i -> abs(embedding[i]::DOUBLE - quant[i]::DOUBLE * s / 127))) * 10000000)::BIGINT
+             AS max_err_x1e7
+         FROM q""",
 
     "q23_format_media_stats" ->
       """SELECT CASE WHEN doc_id % 10 IN (0,1) THEN 'txt' WHEN doc_id % 10 = 2 THEN 'ocr'

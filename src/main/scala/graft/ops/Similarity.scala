@@ -245,4 +245,32 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("rank"), col("neighbor_id"))
   }
+
+  /** Symmetric per-vector int8 quantization — the standard 4x storage /
+    * bandwidth compression for an embedding corpus (the floats only come
+    * back for the final re-rank). Per vector: scale = max |x_i| (double),
+    * q_i = floor(x_i * 127 / scale + 0.5) in [-127, 127]; an all-zero
+    * vector quantizes to zeros. Adds `quant` (array<int>) and the maximum
+    * per-component reconstruction error as an INTEGER (`max_err_x1e7` =
+    * floor(max_i |x_i - q_i*scale/127| * 1e7)) so a cross-engine oracle can
+    * hash-compare exactly (all arithmetic in IEEE double with a fixed
+    * operation order — both engines produce bit-identical results).
+    *
+    * Pure column expressions: map-only scan, whole-stage codegen, no
+    * shuffle — the plan shape that survives any corpus size.
+    */
+  def quantizeInt8(emb: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val scale = array_max(transform(col(embCol), v => abs(v.cast("double"))))
+    def quantOf(s: org.apache.spark.sql.Column) =
+      transform(col(embCol), v =>
+        when(s === 0d, lit(0))
+          .otherwise(floor(v.cast("double") * lit(127d) / s + lit(0.5d)).cast("int")))
+    emb
+      .withColumn("scale", scale)
+      .withColumn("quant", quantOf(col("scale")))
+      .withColumn("max_err_x1e7",
+        floor(array_max(zip_with(col(embCol), col("quant"),
+          (v, q) => abs(v.cast("double") - q.cast("double") * col("scale") / lit(127d))))
+          * lit(1e7d)).cast("long"))
+  }
 }

@@ -322,6 +322,27 @@ class OpsSpec extends AnyFunSuite {
     assert(byTable.columns.toSeq == docs.columns.toSeq) // helper column dropped
   }
 
+  test("quantizeInt8: exact handcrafted values, zero vector, error bound") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1f, -0.5f, 0f)),
+      (2L, Seq(0f, 0f, 0f)),
+      (3L, Seq(0.3f, 0.7f, -0.2f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(emb)
+      .select("vec_id", "quant", "max_err_x1e7")
+      .as[(Long, Seq[Int], Long)].collect().map(r => r._1 -> r).toMap
+    // scale=1: q = floor(127+0.5)=127, floor(-63.5+0.5)=-63, 0
+    assert(out(1L)._2 == Seq(127, -63, 0))
+    assert(out(2L)._2 == Seq(0, 0, 0) && out(2L)._3 == 0L)
+    // symmetric quantization error is at most scale/254 per component
+    for ((id, (_, q, err)) <- out) {
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec $id out of range")
+      val scale = Seq(1f, 0f, 0.7f)(id.toInt - 1).toDouble
+      assert(err <= math.floor(scale / 254 * 1e7) + 1, s"vec $id err $err")
+    }
+  }
+
   test("topTerms: distinct-per-doc counting and (freq desc, term asc) tie-break") {
     import spark.implicits._
     val docs = Seq(
