@@ -445,7 +445,17 @@ object SparkEntry {
     // order, so the oracle reproduces every component bit-for-bit
     "q48_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(s.read.parquet(s"$dir/embeddings.parquet"))
-        .select("vec_id", "quant", "max_err_x1e7"))
+        .select("vec_id", "quant", "max_err_x1e7")),
+
+    // benchmark decontamination: eval set = every 29th doc's text; those
+    // docs (and any incidental 8-gram collision, deterministically the same
+    // in both engines) must flag as contaminated
+    "q49_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val evalSet = docs.filter(col("doc_id") % 29 === 0)
+      Dedup.decontaminate(docs, evalSet, n = 8)
+        .select("doc_id", "n_hit_shingles", "contaminated")
+    })
   )
 
   // ----------------------------------------------------------------- oracles
@@ -934,6 +944,22 @@ object SparkEntry {
              i -> abs(embedding[i]::DOUBLE - quant[i]::DOUBLE * s / 127))) * 10000000)::BIGINT
              AS max_err_x1e7
          FROM q""",
+
+    // same 8-gram shingle derivation as the Spark side (distinct per doc),
+    // eval side = every 29th doc, per-doc hit counts via broadcast-shaped
+    // semi-join restated as a plain SQL join
+    "q49_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $WORDS AS w FROM documents),
+          sh AS (SELECT doc_id, unnest(list_distinct(
+                   list_transform(generate_series(1, greatest(len(w) - 7, 0)),
+                     i -> array_to_string(w[i : i+7], ' ')))) AS shingle
+                 FROM toks),
+          ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 29 = 0),
+          hits AS (SELECT s.doc_id, count(*) AS n_hit_shingles
+                   FROM sh s JOIN ev USING (shingle) GROUP BY 1)
+          SELECT d.doc_id, coalesce(h.n_hit_shingles, 0) AS n_hit_shingles,
+            CASE WHEN coalesce(h.n_hit_shingles, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
 
     "q23_format_media_stats" ->
       """SELECT CASE WHEN doc_id % 10 IN (0,1) THEN 'txt' WHEN doc_id % 10 = 2 THEN 'ocr'

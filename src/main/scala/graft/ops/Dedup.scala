@@ -68,6 +68,32 @@ object Dedup {
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
   }
 
+  /** Benchmark decontamination: flag corpus docs sharing any word `n`-gram
+    * with an evaluation set (the standard pre-training hygiene pass — an
+    * eval example appearing verbatim or near-verbatim in training data
+    * poisons the benchmark). Output: every input row plus
+    * `n_hit_shingles` (distinct contaminated n-grams in the doc) and
+    * `contaminated` (0/1).
+    *
+    * Scale shape: the eval side is SMALL (benchmarks are thousands of
+    * examples) — its distinct shingles are broadcast, so the corpus is
+    * scanned once, the semi-join is map-side, and the only shuffle is the
+    * per-doc hit count (map-side combine; cardinality bounded by hits, not
+    * corpus size). The docs-side re-join is on the already-partitioned
+    * doc_id. No driver-side state beyond the broadcast.
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    val evalShingles = shingled(evalDocs, n, textCol)
+      .select(col("shingle")).distinct()
+    val hits = shingled(docs, n, textCol)
+      .join(broadcast(evalShingles), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit_shingles"))
+    docs.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit_shingles", coalesce(col("n_hit_shingles"), lit(0L)))
+      .withColumn("contaminated", when(col("n_hit_shingles") > 0, 1).otherwise(0))
+  }
+
   /** Exact pairwise n-gram Jaccard over a (bounded) universe: self-join on
     * shingle -> pair intersection counts -> |A∪B| via per-doc sizes. The
     * shingle join is the scale bottleneck by design — use [[minhashLsh]] to

@@ -322,6 +322,26 @@ class OpsSpec extends AnyFunSuite {
     assert(byTable.columns.toSeq == docs.columns.toSeq) // helper column dropped
   }
 
+  test("decontaminate: planted eval 8-gram flags the doc; eval side broadcasts") {
+    import spark.implicits._
+    val evalDocs = Seq(
+      (100L, "alpha bravo charlie delta echo foxtrot golf hotel india")
+    ).toDF("doc_id", "text")
+    val docs = Seq(
+      // contains eval 8-gram "alpha ... hotel" -> contaminated
+      (1L, "xx alpha bravo charlie delta echo foxtrot golf hotel yy"),
+      (2L, "totally different words one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(docs, evalDocs, n = 8)
+    // the eval side must broadcast: corpus-side scan stays shuffle-free
+    // until the per-doc count
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val rows = out.select("doc_id", "n_hit_shingles", "contaminated")
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(rows(1L) == ((1L, 1L, 1)))
+    assert(rows(2L) == ((2L, 0L, 0)))
+  }
+
   test("quantizeInt8: exact handcrafted values, zero vector, error bound") {
     import spark.implicits._
     val emb = Seq(
