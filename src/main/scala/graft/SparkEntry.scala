@@ -447,6 +447,12 @@ object SparkEntry {
       Similarity.quantizeInt8(s.read.parquet(s"$dir/embeddings.parquet"))
         .select("vec_id", "quant", "max_err_x1e7")),
 
+    // native session_window aggregation over the events table (30-minute
+    // gap); integer outputs keyed by (user, session start)
+    "q50_sessionize" -> ((s, dir) =>
+      graft.ops.Events.sessionize(s.read.parquet(s"$dir/events.parquet"))
+        .select("user_id", "session_start_epoch", "n_events", "duration_sec")),
+
     // benchmark decontamination: eval set = every 29th doc's text; those
     // docs (and any incidental 8-gram collision, deterministically the same
     // in both engines) must flag as contaminated
@@ -944,6 +950,21 @@ object SparkEntry {
              i -> abs(embedding[i]::DOUBLE - quant[i]::DOUBLE * s / 127))) * 10000000)::BIGINT
              AS max_err_x1e7
          FROM q""",
+
+    // the same gap rule at microsecond precision: a new session starts only
+    // when the inter-event gap STRICTLY exceeds 30 min (Spark's
+    // session_window merges an event landing exactly on previous + gap —
+    // pinned by the exact-boundary unit test)
+    "q50_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+         n AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+         s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sid FROM n)
+         SELECT user_id,
+           (min(us) // 1000000)::BIGINT AS session_start_epoch,
+           count(*) AS n_events,
+           ((max(us) - min(us)) // 1000000)::BIGINT AS duration_sec
+         FROM s GROUP BY user_id, sid""",
 
     // same 8-gram shingle derivation as the Spark side (distinct per doc),
     // eval side = every 29th doc, per-doc hit counts via broadcast-shaped

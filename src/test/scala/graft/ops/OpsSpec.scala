@@ -322,6 +322,25 @@ class OpsSpec extends AnyFunSuite {
     assert(byTable.columns.toSeq == docs.columns.toSeq) // helper column dropped
   }
 
+  test("sessionize: gap rule incl. the exact-boundary event; single-event session") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val events = Seq(
+      (1L, at(0)), (1L, at(10)), // one session (gap 10 < 30)
+      (1L, at(40)),              // EXACTLY 30 min later: merges (boundary is inclusive)
+      (1L, at(71)),              // 31 min later: strictly beyond the gap -> new session
+      (2L, at(5))                // single-event session, duration 0
+    ).toDF("user_id", "ts")
+    val out = Events.sessionize(events)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val e0 = t0.getTime / 1000
+    assert(out == Set(
+      (1L, e0, 3L, 2400L),         // t0..t0+40min (exact-boundary event merged)
+      (1L, e0 + 4260, 1L, 0L),     // t0+71min alone
+      (2L, e0 + 300, 1L, 0L)))
+  }
+
   test("decontaminate: planted eval 8-gram flags the doc; eval side broadcasts") {
     import spark.implicits._
     val evalDocs = Seq(
