@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.ExtractedDoc
 import graft.gen.{SpanGen, Synth}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, WebOps}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis, WebOps}
 import graft.spark.{Checker, CheckedDoc, Pipeline, TextFunctions}
 
 /** Driver contract: every operator of SURVEY.md §2 surfaces here as a named
@@ -461,6 +461,34 @@ object SparkEntry {
       val evalSet = docs.filter(col("doc_id") % 29 === 0)
       Dedup.decontaminate(docs, evalSet, n = 8)
         .select("doc_id", "n_hit_shingles", "contaminated")
+    }),
+
+    // deterministic hash-Bernoulli sample stratified by language; the
+    // exact-binary fractions make the md5-threshold integer-exact in both
+    // engines (en keeps 1/2, de 1/4, everything else 1/8)
+    "q51_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+        s.read.parquet(s"$dir/documents.parquet"),
+        Map("en" -> 0.5, "de" -> 0.25), strataCol = "lang",
+        idCol = "doc_id", defaultFraction = 0.125)
+        .select("doc_id", "lang")),
+
+    // token-budget shard packing: shard = floor(exclusive prefix sum of
+    // n_chars in doc_id order / 10k) via the distributed two-pass prefix
+    // sum (range partition -> per-partition offsets -> local running sum)
+    "q52_pack_shards" -> ((s, dir) =>
+      Sampling.packShards(
+        s.read.parquet(s"$dir/documents.parquet"), budget = 10000L)
+        .select("doc_id", "n_chars", "shard_id")),
+
+    // as-of join: each click attributed to the user's latest view at or
+    // before it (union + running last-non-null window; single shuffle)
+    "q53_asof_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.ops.Events.asofJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+        .select("event_id", "user_id", "matched_event_id", "gap_sec")
     })
   )
 
@@ -988,7 +1016,50 @@ object SparkEntry {
                      WHEN doc_id % 10 = 7 THEN 'html' ELSE 'pdf' END AS format,
                 count(*) AS n_docs,
                 sum(CASE WHEN doc_id % 10 IN (3,4) THEN 2 WHEN doc_id % 10 IN (7,8,9) THEN 1 ELSE 0 END)::BIGINT AS n_media
-         FROM documents GROUP BY 1"""
+         FROM documents GROUP BY 1""",
+
+    // same md5-threshold rule: first 32 md5 bits of the id below
+    // fraction * 2^32; the fractions are exact binary so the threshold is
+    // the same integer in both engines
+    "q51_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT <
+           (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.125 END
+            * 4294967296)::BIGINT""",
+
+    // the global exclusive prefix sum the two-pass distributed version
+    // computes, restated as one window (fine at oracle scale)
+    "q52_pack_shards" ->
+      """SELECT doc_id, n_chars,
+           (coalesce(sum(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 10000)::BIGINT AS shard_id
+         FROM documents""",
+
+    // identical union + running-last formulation; NULLS FIRST matches
+    // Spark's ascending default, views (side 0) sort before clicks (side 1)
+    // at equal timestamps so an exactly-simultaneous view matches
+    "q53_asof_join" ->
+      """WITH u AS (
+           SELECT user_id, epoch_us(ts) AS us, 1 AS side, event_id AS lid,
+                  NULL::BIGINT AS rid
+           FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, epoch_us(ts), 0, NULL, event_id
+           FROM events WHERE event_type = 'view'
+         ), w AS (
+           SELECT *,
+             last_value(rid IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY us, side, rid NULLS FIRST
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_rid,
+             last_value(CASE WHEN rid IS NOT NULL THEN us END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY us, side, rid NULLS FIRST
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_us
+           FROM u
+         )
+         SELECT lid AS event_id, user_id, m_rid AS matched_event_id,
+           ((us - m_us) // 1000000)::BIGINT AS gap_sec
+         FROM w WHERE side = 1"""
   )
 
   /** lang-id oracle: argmax over the same stopword gazetteers, declaration-

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream operators over the activity log that accompanies a corpus
@@ -38,5 +39,44 @@ object Events {
         (col("_min_us") / lit(1000000L)).cast("long").as("session_start_epoch"),
         col("n_events"),
         ((col("_max_us") - col("_min_us")) / lit(1000000L)).cast("long").as("duration_sec"))
+  }
+
+  /** As-of join: attach to each left event the MOST RECENT right event of
+    * the same key with `right.ts <= left.ts` (inclusive boundary; among
+    * right events sharing that timestamp the highest id wins — both rules
+    * deterministic and mirrored in the oracle). The classic use is
+    * attribution: each `click` to the latest prior `view`.
+    *
+    * Spark has no ASOF join operator; an inequality join would be a
+    * cartesian-per-key. Instead both sides are UNIONED and a running
+    * `last(right_id, ignoreNulls)` window — partitioned by key, ordered by
+    * (ts, side, right-id) with right rows sorting before left rows at
+    * equal ts — carries the latest right row forward onto each left row.
+    * One shuffle on the key; the UnboundedPreceding..CurrentRow frame
+    * aggregates incrementally (no O(history) frame buffer; the per-key
+    * row buffer is spillable).
+    *
+    * Output: left id, key, matched right id (null when no prior right
+    * event exists), and the gap in whole seconds — all integers.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val l = left.select(col(keyCol), us.as("_us"), lit(1).as("_side"),
+      col(idCol).as("_lid"), lit(null).cast("long").as("_rid"))
+    val r = right.select(col(keyCol), us.as("_us"), lit(0).as("_side"),
+      lit(null).cast("long").as("_lid"), col(idCol).as("_rid"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("_us"), col("_side"), col("_rid").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionAll(r)
+      .withColumn("_m_rid", last(col("_rid"), ignoreNulls = true).over(w))
+      .withColumn("_m_us",
+        last(when(col("_rid").isNotNull, col("_us")), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col("_lid").as(idCol), col(keyCol),
+        col("_m_rid").as("matched_event_id"),
+        ((col("_us") - col("_m_us")) / lit(1000000L)).cast("long").as("gap_sec"))
   }
 }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus sampling and sharding operators for training-data preparation.
+  *
+  * Both are deterministic functions of the data (no RNG, no
+  * nondeterministic Spark state), so a run is exactly reproducible and
+  * cross-engine oracle-checkable.
+  */
+object Sampling {
+
+  /** Deterministic stratified Bernoulli sample: keep a row iff the first
+    * 32 md5 bits of its id fall below `fraction(stratum) * 2^32`. Strata
+    * not in the map get `defaultFraction`. Choosing exact-binary fractions
+    * (0.5, 0.25, 0.125, ...) keeps the threshold integer-exact across
+    * engines.
+    *
+    * Scale shape: a single codegen'd filter on the scan — no shuffle, no
+    * sampling pass, no driver state; the per-stratum rate is a broadcast
+    * map literal. Unlike `df.sample`, membership is a pure function of the
+    * id, so re-runs (and incremental extensions of the corpus) keep the
+    * same rows.
+    */
+  def stratifiedSample(df: DataFrame, fractions: Map[String, Double],
+      strataCol: String = "lang", idCol: String = "doc_id",
+      defaultFraction: Double = 0.0): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0) &&
+      defaultFraction >= 0.0 && defaultFraction <= 1.0,
+      "fractions must be in [0, 1]")
+    val hash32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val frac = coalesce(
+      element_at(typedLit(fractions), col(strataCol)), lit(defaultFraction))
+    df.filter(hash32 < (frac * lit(4294967296L)).cast("long"))
+  }
+
+  /** Pack documents into contiguous training shards of ~`budget` total
+    * weight (tokens, chars, bytes): in global `idCol` order, a document's
+    * shard is `floor(exclusive-prefix-sum(weight) / budget)` — the standard
+    * greedy concatenation rule (a document may straddle a boundary; the
+    * packer's job is contiguity and balance, not exact bins).
+    *
+    * A naive global window (`Window.orderBy(id)`) collapses the corpus
+    * into ONE task. Instead the prefix sum is distributed the classic way:
+    *   1. range-partition by id and stamp the partition ordinal, then
+    *      eagerly localCheckpoint — range bounds are SAMPLED per-execution,
+    *      so both passes must read the same materialized layout; the
+    *      checkpoint truncates lineage, turning a lost block into a loud
+    *      job failure instead of a silent recompute with different bounds
+    *      (which would corrupt the offsets),
+    *   2. one tiny job aggregates per-partition weight sums (rows =
+    *      partition count) and the driver folds them into exclusive
+    *      partition offsets,
+    *   3. a per-partition running sum (window keyed by the partition
+    *      ordinal — incremental frame, no full-partition buffer) plus the
+    *      broadcast offset map yields the global prefix.
+    * Output rows are 3 integers per doc.
+    */
+  def packShards(df: DataFrame, budget: Long, idCol: String = "doc_id",
+      weightCol: String = "n_chars"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val base = df
+      .select(col(idCol), col(weightCol).cast("long").as("_w"))
+      .repartitionByRange(col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val sums = base.groupBy("_pid").agg(sum("_w").as("_s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      sums.map { case (pid, s) => val o = (pid, acc); acc += s; o }.toMap
+    }
+    val run = Window.partitionBy("_pid").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("_prefix",
+        coalesce(sum(col("_w")).over(run), lit(0L)) +
+          element_at(typedLit(offsets), col("_pid")))
+      .select(col(idCol), col("_w").as(weightCol),
+        (col("_prefix") / lit(budget)).cast("long").as("shard_id"))
+  }
+}

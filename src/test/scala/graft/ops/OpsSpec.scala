@@ -394,4 +394,65 @@ class OpsSpec extends AnyFunSuite {
     // df: cherry=3, apple=2, banana=2 (ties alphabetic), date=1, epsilon=1
     assert(out == Seq(("cherry", 3L), ("apple", 2L), ("banana", 2L)))
   }
+
+  test("stratifiedSample: deterministic, per-stratum rate, extension-stable") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "zz")).toDF("doc_id", "lang")
+    val fr = Map("en" -> 0.5)
+    val s1 = Sampling.stratifiedSample(docs, fr, defaultFraction = 0.125)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.stratifiedSample(docs, fr, defaultFraction = 0.125)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2) // pure function of the id: no RNG state
+    val en = s1.count(_ % 2 == 0).toDouble / 1000
+    val zz = s1.count(_ % 2 == 1).toDouble / 1000
+    assert(math.abs(en - 0.5) < 0.06, s"en rate $en")
+    assert(math.abs(zz - 0.125) < 0.04, s"zz rate $zz")
+    // membership is per-id: sampling a sub-corpus keeps exactly the same ids
+    val sub = Sampling.stratifiedSample(
+      docs.filter($"doc_id" < 500), fr, defaultFraction = 0.125)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sub == s1.filter(_ < 500))
+    assertThrows[IllegalArgumentException](
+      Sampling.stratifiedSample(docs, Map("en" -> 1.5)))
+  }
+
+  test("packShards: global exclusive-prefix-sum rule across partitions") {
+    import spark.implicits._
+    // weights chosen so shards straddle partition boundaries under any
+    // range split: 100 docs of weight 7, budget 50 -> shard = floor(7i/50)
+    val docs = (0L until 100L).map(i => (i, 7L)).toDF("doc_id", "n_chars")
+      .repartition(8) // scrambled input; the op re-range-partitions itself
+    val out = Sampling.packShards(docs, budget = 50L)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    for (i <- 0L until 100L) assert(out(i) == 7 * i / 50, s"doc $i")
+    // every shard except the last holds a contiguous id range
+    val byShard = out.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
+    for ((_, ids) <- byShard) assert(ids == (ids.head to ids.last))
+    assertThrows[IllegalArgumentException](Sampling.packShards(docs, 0L))
+  }
+
+  test("asofJoin: latest prior match, inclusive boundary, same-ts tie, no-match null") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Int) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
+    val clicks = Seq(
+      (10L, 1L, at(100)), // after views 1,2 -> latest is 2
+      (11L, 1L, at(10)),  // exactly at view 1's ts -> inclusive match
+      (12L, 1L, at(5)),   // before any view -> null
+      (13L, 2L, at(50))   // user 2: two views at the SAME ts -> higher id wins
+    ).toDF("event_id", "user_id", "ts")
+    val views = Seq(
+      (1L, 1L, at(10)), (2L, 1L, at(60)),
+      (3L, 2L, at(40)), (4L, 2L, at(40))
+    ).toDF("event_id", "user_id", "ts")
+    val out = Events.asofJoin(clicks, views)
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(10L) == ((10L, 1L, Some(2L), Some(40L))))
+    assert(out(11L) == ((11L, 1L, Some(1L), Some(0L))))
+    assert(out(12L) == ((12L, 1L, None, None)))
+    assert(out(13L) == ((13L, 2L, Some(4L), Some(10L))))
+  }
 }
