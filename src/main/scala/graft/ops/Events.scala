@@ -70,10 +70,13 @@ object Events {
     val w = Window.partitionBy(keyCol)
       .orderBy(col("_us"), col("_side"), col("_rid").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // both running aggregates in one select -> ONE Window node over one
+    // sorted stream (separate withColumn calls leave two Window operators)
     l.unionAll(r)
-      .withColumn("_m_rid", last(col("_rid"), ignoreNulls = true).over(w))
-      .withColumn("_m_us",
-        last(when(col("_rid").isNotNull, col("_us")), ignoreNulls = true).over(w))
+      .select(col(keyCol), col("_us"), col("_side"), col("_lid"),
+        last(col("_rid"), ignoreNulls = true).over(w).as("_m_rid"),
+        last(when(col("_rid").isNotNull, col("_us")), ignoreNulls = true)
+          .over(w).as("_m_us"))
       .filter(col("_side") === 1)
       .select(col("_lid").as(idCol), col(keyCol),
         col("_m_rid").as("matched_event_id"),

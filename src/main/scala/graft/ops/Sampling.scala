@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Corpus sampling and sharding operators for training-data preparation.
   *
@@ -54,10 +54,16 @@ object Sampling {
     *   2. one tiny job aggregates per-partition weight sums (rows =
     *      partition count) and the driver folds them into exclusive
     *      partition offsets,
-    *   3. a per-partition running sum (window keyed by the partition
-    *      ordinal — incremental frame, no full-partition buffer) plus the
-    *      broadcast offset map yields the global prefix.
-    * Output rows are 3 integers per doc.
+    *   3. a local in-partition sort (no Exchange — the checkpoint already
+    *      holds the range layout) and a per-partition running sum seeded
+    *      from the offset of the row's stamped ordinal.
+    * Step 3 is mapPartitions rather than a window: the checkpointed scan
+    * reports UnknownPartitioning, so `Window.partitionBy(_pid)` would force
+    * Catalyst to re-shuffle the whole corpus by a column that IS the
+    * partition id — a full redundant Exchange at 100-TB scale. The running
+    * sum is genuine per-partition sequential state, the documented case for
+    * dropping below the declarative API. Weights are sizes (non-negative);
+    * output rows are 3 integers per doc.
     */
   def packShards(df: DataFrame, budget: Long, idCol: String = "doc_id",
       weightCol: String = "n_chars"): DataFrame = {
@@ -73,13 +79,21 @@ object Sampling {
       var acc = 0L
       sums.map { case (pid, s) => val o = (pid, acc); acc += s; o }.toMap
     }
-    val run = Window.partitionBy("_pid").orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    base
-      .withColumn("_prefix",
-        coalesce(sum(col("_w")).over(run), lit(0L)) +
-          element_at(typedLit(offsets), col("_pid")))
-      .select(col(idCol), col("_w").as(weightCol),
-        (col("_prefix") / lit(budget)).cast("long").as("shard_id"))
+    val outSchema = StructType(Seq(
+      base.schema(idCol),
+      StructField(weightCol, LongType, nullable = false),
+      StructField("shard_id", LongType, nullable = false)))
+    base.sortWithinPartitions(idCol)
+      .mapPartitions { it =>
+        var acc = 0L
+        var seeded = false
+        it.map { row =>
+          if (!seeded) { acc = offsets(row.getInt(2)); seeded = true }
+          val w = row.getLong(1)
+          val shard = acc / budget // trunc == floor: prefix is non-negative
+          acc += w
+          Row(row.get(0), w, shard)
+        }
+      }(Encoders.row(outSchema))
   }
 }
