@@ -481,6 +481,49 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), budget = 10000L)
         .select("doc_id", "n_chars", "shard_id")),
 
+    // corpus-level paragraph dedup: planted 3-line docs where line 1 is a
+    // shared header on even ids and line 3 a shared footer on ids %3==0 —
+    // each shared line must survive only at its first (doc_id, pos)
+    // occurrence, and the 3-line structure makes the rebuilt text +
+    // kept-count closed-form for the oracle
+    "q54_paragraph_dedup" -> ((s, dir) => {
+      val planted = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat_ws("\n",
+          when(col("doc_id") % 2 === 0,
+            lit("shared header boilerplate menu home about contact"))
+            .otherwise(substring(col("text"), 1, 50)),
+          substring(col("text"), 51, 50),
+          when(col("doc_id") % 3 === 0,
+            lit("copyright footer all rights reserved"))
+            .otherwise(substring(col("text"), 101, 50))).as("text"))
+      Dedup.paragraphDedup(planted).select("doc_id", "text", "n_paras_kept")
+    }),
+
+    // cluster resolution policy over the chain universe (mutations only for
+    // ids < 40, so ids 40-59 exercise the unclustered-singleton path unless
+    // naturally near-dup): longest text wins its cluster, ties to min id
+    "q55_resolve_dups" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 60).select("doc_id", "text")
+      val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+      def dropK(k: Int, off: Long) = base.filter(col("doc_id") < 40)
+        .withColumn("text", concat_ws(" ", slice(words, lit(1), size(words) - k)))
+        .withColumn("doc_id", col("doc_id") + off)
+      val uni = base.unionAll(dropK(1, 1000000L)).unionAll(dropK(2, 2000000L))
+        .withColumn("n_chars", length(col("text")))
+      val clusters = Dedup.duplicateClusters(Dedup.ngramJaccardPairs(uni))
+      Dedup.resolveDuplicates(uni, clusters).select("doc_id", "cluster_id", "keep")
+    }),
+
+    // domain-mixture rebalancing toward en:de:fr = 2:1:1 — en is the
+    // binding group at the synthetic corpus's lang distribution; thresholds
+    // are driver-computed doubles whose floor the oracle reproduces exactly
+    "q56_mixture_sample" -> ((s, dir) =>
+      Sampling.mixtureSample(
+        s.read.parquet(s"$dir/documents.parquet"),
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
+        .select("doc_id", "lang")),
+
     // as-of join: each click attributed to the user's latest view at or
     // before it (union + running last-non-null window; single shuffle)
     "q53_asof_join" -> ((s, dir) => {
@@ -572,6 +615,18 @@ object SparkEntry {
         UNION ALL
         SELECT doc_id + 2000000, array_to_string(w[1:len(w)-2], ' ')
         FROM (SELECT doc_id, $WORDS AS w FROM documents WHERE doc_id < 60))"""
+
+  /** resolution universe: base ids < 60, mutations only for ids < 40 so
+    * some base docs stay unclustered (singleton path)
+    */
+  private val resolveUniverseSql =
+    s"""(SELECT doc_id, text FROM documents WHERE doc_id < 60
+        UNION ALL
+        SELECT doc_id + 1000000, array_to_string(w[1:len(w)-1], ' ')
+        FROM (SELECT doc_id, $WORDS AS w FROM documents WHERE doc_id < 40)
+        UNION ALL
+        SELECT doc_id + 2000000, array_to_string(w[1:len(w)-2], ' ')
+        FROM (SELECT doc_id, $WORDS AS w FROM documents WHERE doc_id < 40))"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_extract_txt" ->
@@ -1035,6 +1090,72 @@ object SparkEntry {
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             // 10000)::BIGINT AS shard_id
          FROM documents""",
+
+    // the same first-(doc_id,pos)-wins rule stated as a window over the
+    // paragraph hash; short (<10 char) paragraphs bypass dedup; docs whose
+    // every paragraph was claimed elsewhere come back empty via the left
+    // join, exactly like the Spark plan
+    "q54_paragraph_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, concat_ws(chr(10),
+             CASE WHEN doc_id % 2 = 0 THEN 'shared header boilerplate menu home about contact'
+                  ELSE substr(text, 1, 50) END,
+             substr(text, 51, 50),
+             CASE WHEN doc_id % 3 = 0 THEN 'copyright footer all rights reserved'
+                  ELSE substr(text, 101, 50) END) AS text
+           FROM documents),
+         p AS (
+           SELECT doc_id, unnest(generate_series(1, len(parts))) - 1 AS pos,
+                  unnest(parts) AS para
+           FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d)),
+         keep AS (
+           SELECT doc_id, pos, para FROM (
+             SELECT doc_id, pos, para,
+               row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+             FROM p WHERE len(para) >= 10) WHERE rn = 1
+           UNION ALL
+           SELECT doc_id, pos, para FROM p WHERE len(para) < 10),
+         reb AS (
+           SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+                  count(*) AS n_paras_kept
+           FROM keep GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(reb.text, '') AS text,
+                coalesce(reb.n_paras_kept, 0) AS n_paras_kept
+         FROM d LEFT JOIN reb USING (doc_id)""",
+
+    // clusters from the recursive CTE, winner = max text length then min
+    // id; docs outside the pair graph keep trivially as their own cluster
+    "q55_resolve_dups" ->
+      s"""WITH RECURSIVE pairs AS (${jaccardPairsOver(resolveUniverseSql)}),
+          docs AS (SELECT * FROM $resolveUniverseSql),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+          reach(id, label) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+          lab AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
+          r AS (SELECT d.doc_id, l.cluster_id,
+                  row_number() OVER (PARTITION BY l.cluster_id
+                                     ORDER BY len(d.text) DESC, d.doc_id) AS rn
+                FROM lab l JOIN docs d USING (doc_id))
+          SELECT doc_id, cluster_id, CASE WHEN rn = 1 THEN 1 ELSE 0 END AS keep FROM r
+          UNION ALL
+          SELECT doc_id, doc_id AS cluster_id, 1 AS keep FROM docs
+          WHERE doc_id NOT IN (SELECT doc_id FROM lab)""",
+
+    // identical rate derivation in IEEE double: N = min(count/share) over
+    // the targeted groups, rate = least(1, share*N/count), membership =
+    // first 32 md5 bits below floor(rate * 2^32)
+    "q56_mixture_sample" ->
+      """WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents
+                    WHERE lang IN ('en','de','fr') GROUP BY lang),
+         s AS (SELECT lang, CASE lang WHEN 'en' THEN 0.5 ELSE 0.25 END AS share, n FROM c),
+         m AS (SELECT min(n / share) AS nout FROM s),
+         r AS (SELECT lang, least(1.0, share * (SELECT nout FROM m) / n) AS rate FROM s)
+         SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+         WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+               < floor(r.rate * 4294967296)::BIGINT""",
 
     // identical union + running-last formulation; NULLS FIRST matches
     // Spark's ascending default, views (side 0) sort before clicks (side 1)

@@ -300,6 +300,88 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** Corpus-level exact paragraph dedup (the line-dedup pass of
+    * CCNet/RefinedWeb-style curation): across the WHOLE corpus, each
+    * distinct paragraph of at least `minLen` chars is kept only at its
+    * first occurrence (smallest (doc_id, position)); every later copy is
+    * dropped and documents are rebuilt in original paragraph order.
+    * Boilerplate repeated across a crawl (nav menus, cookie banners,
+    * copyright footers) survives in exactly one document. Paragraphs
+    * shorter than `minLen` are structural (blank lines, headings) and pass
+    * through untouched. Output: (doc_id, text, n_paras_kept) for EVERY
+    * input doc — a fully-boilerplate doc comes back with empty text and
+    * n_paras_kept = 0 rather than vanishing silently.
+    *
+    * Scale shape: ownership is an AGGREGATION on the paragraph hash —
+    * `min(struct(doc_id, pos))` with map-side partial aggregation, so a
+    * paragraph duplicated a billion times costs each map task one buffered
+    * row, never a window partition (same skew lesson as
+    * [[incrementalExact]]). The keep-decision join shares that hash key
+    * (sort-merge; a hot paragraph is an AQE-splittable skewed join, not a
+    * single window task), the rebuild groups by doc_id with collect_list
+    * bounded by the document's own paragraph count, and the final
+    * left join re-attaching empty docs reuses the doc_id partitioning.
+    */
+  def paragraphDedup(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minLen: Int = 10): DataFrame = {
+    val paras = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "para")))
+    val eligible = paras.filter(length(col("para")) >= minLen)
+      .withColumn("h", md5(col("para")))
+    val owners = eligible.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val keptEligible = eligible.join(owners, "h")
+      .filter(col("first.doc_id") === col("doc_id") && col("first.pos") === col("pos"))
+      .select("doc_id", "pos", "para")
+    val kept = keptEligible.unionByName(
+      paras.filter(length(col("para")) < minLen))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("para")))).as("_ps"),
+        count(lit(1)).as("n_paras_kept"))
+      .select(col("doc_id"),
+        concat_ws("\n", transform(col("_ps"), p => p("para"))).as(textCol),
+        col("n_paras_kept"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col(textCol), lit("")).as(textCol),
+        coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"))
+  }
+
+  /** Duplicate-cluster resolution policy: turn [[duplicateClusters]]
+    * output into a per-document keep/drop decision. Within each cluster
+    * exactly one document survives — the one with the highest `scoreCol`
+    * (e.g. length, a quality score), ties broken toward the smallest id so
+    * the decision is deterministic. Documents outside every cluster keep
+    * trivially, reported with themselves as cluster_id. Output:
+    * (doc_id, cluster_id, keep) for every input doc.
+    *
+    * Scale shape: cluster membership joins on the already-partitioned id
+    * (AQE broadcasts the cluster map while it is small); the winner per
+    * cluster is an aggregation — `min(struct(-score, id))` with map-side
+    * combine, never a window over a possibly-huge cluster; the winner
+    * table (one row per cluster) re-joins on cluster_id and is
+    * broadcast-sized; unclustered docs take an anti-join on the same id
+    * key and bypass everything else.
+    */
+  def resolveDuplicates(docs: DataFrame, clusters: DataFrame,
+      scoreCol: String = "n_chars", idCol: String = "doc_id"): DataFrame = {
+    val member = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(scoreCol).cast("long").as("_score"))
+      .join(clusters.select(col("doc_id").cast("long").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"))
+    val winners = member.groupBy("cluster_id")
+      .agg(min(struct((-col("_score")).as("neg"), col("doc_id").as("id"))).as("_w"))
+      .select(col("cluster_id"), col("_w.id").as("_keep_id"))
+    val resolved = member.join(winners, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("_keep_id")).cast("int").as("keep"))
+    val singletons = docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(clusters.select(col("doc_id").cast("long").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"), lit(1).as("keep"))
+    resolved.unionByName(singletons)
+  }
+
   /** Exact word-n-gram Jaccard of two texts (pure). */
   def jaccard(ta: String, tb: String, n: Int = 3): Double = {
     def sh(t: String): Set[String] = {

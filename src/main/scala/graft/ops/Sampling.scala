@@ -37,6 +37,48 @@ object Sampling {
     df.filter(hash32 < (frac * lit(4294967296L)).cast("long"))
   }
 
+  /** Domain-mixture rebalancing: downsample groups (languages, domains,
+    * sources) so the OUTPUT matches a target mixture as closely as
+    * downsampling-only allows. The achievable output size is
+    * `N = min_g count_g / share_g` over the targeted groups — the binding
+    * group keeps everything; group g keeps `rate_g = share_g * N / count_g`
+    * of its rows. Groups absent from `targets` are dropped; a targeted
+    * group absent from the corpus pins N to 0 (the mixture is unachievable
+    * by downsampling — an empty result is the honest answer). Membership
+    * uses the same deterministic md5-threshold rule as
+    * [[stratifiedSample]], so re-runs and corpus extensions keep the same
+    * rows.
+    *
+    * Scale shape: one column-pruned counting pass (groupBy on the group
+    * column with map-side combine; its result — one row per group — is
+    * collected to the driver deliberately: the mixture vector is
+    * dashboard-sized by definition), then one codegen'd filter scan with
+    * the per-group integer thresholds inlined as a map literal. No join,
+    * no window, no per-row state.
+    */
+  def mixtureSample(df: DataFrame, targets: Map[String, Double],
+      groupCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty with positive weights")
+    val total = targets.values.sum
+    val shares = targets.map { case (g, w) => (g, w / total) }
+    val counts = df.filter(col(groupCol).isin(targets.keys.toSeq: _*))
+      .groupBy(groupCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val nOut = shares.map { case (g, s) => counts.getOrElse(g, 0L).toDouble / s }.min
+    // integer thresholds computed once on the driver: floor is exact in
+    // IEEE double on both engines, so an ANSI oracle reproduces membership
+    val thresholds: Map[String, Long] = shares.map { case (g, s) =>
+      val c = counts.getOrElse(g, 0L)
+      val rate = if (c == 0) 0.0 else math.min(1.0, s * nOut / c)
+      (g, math.floor(rate * 4294967296.0).toLong)
+    }
+    val hash32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val thr = element_at(typedLit(thresholds), col(groupCol))
+    df.filter(thr.isNotNull && hash32 < thr)
+  }
+
   /** Pack documents into contiguous training shards of ~`budget` total
     * weight (tokens, chars, bytes): in global `idCol` order, a document's
     * shard is `floor(exclusive-prefix-sum(weight) / budget)` — the standard

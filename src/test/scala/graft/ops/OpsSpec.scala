@@ -455,4 +455,72 @@ class OpsSpec extends AnyFunSuite {
     assert(out(12L) == ((12L, 1L, None, None)))
     assert(out(13L) == ((13L, 2L, Some(4L), Some(10L))))
   }
+
+  test("paragraphDedup: first (doc,pos) wins, short paras bypass, empty doc survives") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the common header line\nunique body of doc one\n--"),
+      (2L, "the common header line\nunique body of doc two\n--"),
+      // doc 3 is ALL duplicates of earlier content -> rebuilt empty
+      (3L, "the common header line\nunique body of doc one"),
+      // doc 4 repeats a paragraph WITHIN itself -> second copy dropped
+      (4L, "repeated internal para\nrepeated internal para")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (("the common header line\nunique body of doc one\n--", 3L)))
+    // header claimed by doc 1; "--" is short (<10 chars) so it bypasses dedup
+    assert(out(2L) == (("unique body of doc two\n--", 2L)))
+    assert(out(3L) == (("", 0L)))
+    assert(out(4L) == (("repeated internal para", 1L)))
+    // ownership is an aggregation, not a window over the raw paragraphs:
+    // a hot paragraph must hit map-side partial aggregation, so the
+    // optimized plan contains a partial_min, and the only Window is none
+    val plan = Dedup.paragraphDedup(docs).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowspecdefinition"), s"unexpected window in:\n$plan")
+  }
+
+  test("resolveDuplicates: best score wins, tie to min id, singletons kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 100L), (2L, 300L), (3L, 300L), // cluster A: 2 and 3 tie -> 2 wins
+      (7L, 50L),                          // singleton
+      (8L, 10L), (9L, 20L)                // cluster B: 9 wins
+    ).toDF("doc_id", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (8L, 8L), (9L, 8L))
+      .toDF("doc_id", "cluster_id")
+    val out = Dedup.resolveDuplicates(docs, clusters)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1L, 0)))
+    assert(out(2L) == ((1L, 1)))
+    assert(out(3L) == ((1L, 0)))
+    assert(out(7L) == ((7L, 1))) // untouched by any cluster: own id, kept
+    assert(out(8L) == ((8L, 0)))
+    assert(out(9L) == ((8L, 1)))
+  }
+
+  test("mixtureSample: binding group keeps all, output matches target mixture") {
+    import spark.implicits._
+    val docs = (0L until 3000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
+      .toDF("doc_id", "lang")
+    // counts: en=de=1000; targets en:de = 3:1 -> de binds (1000/0.25=4000
+    // vs en 1000/0.75=1333.3), en keeps 1333.3*0.75=1000 -> ALL of en...
+    // use 1:3 instead so en binds and de downsamples to ~333
+    val out = Sampling.mixtureSample(docs, Map("en" -> 0.75, "de" -> 0.25))
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!byLang.contains("xx"), "untargeted group must be dropped")
+    assert(byLang("en") == 1000, "binding group keeps everything")
+    // de target share 0.25 vs en 0.75 -> expect ~333; md5-Bernoulli noise
+    assert(math.abs(byLang("de") - 333) < 60, s"de kept ${byLang("de")}")
+    // deterministic: same rows on re-run
+    val again = Sampling.mixtureSample(docs, Map("en" -> 0.75, "de" -> 0.25))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.map(_._1).toSet)
+    // a targeted group missing from the corpus -> unachievable -> empty
+    assert(Sampling.mixtureSample(docs, Map("en" -> 0.5, "nope" -> 0.5)).count() == 0)
+    assertThrows[IllegalArgumentException](
+      Sampling.mixtureSample(docs, Map.empty[String, Double]))
+  }
 }
