@@ -524,6 +524,30 @@ object SparkEntry {
         Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
         .select("doc_id", "lang")),
 
+    // large-x-large ANN join: every 7th vector joined to its top-3
+    // approximate neighbors in the full table — sign both sides with the
+    // q31 md5 planes, multiprobe the left to hamming<=2, ONE signature
+    // equi-join, bounded TopKAgg per left id (no window, no driver collect)
+    "q57_knn_join" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.knnJoin(emb.filter(col("vec_id") % 7 === 0), emb)
+        .select("vec_id", "rank", "neighbor_id")
+    }),
+
+    // exact-count per-language sample: the 40 smallest md5(doc_id) per
+    // lang via bounded top-k aggregation (never a per-group window sort)
+    "q58_exactk_sample" -> ((s, dir) =>
+      Sampling.exactKSample(
+        s.read.parquet(s"$dir/documents.parquet"), 40)
+        .select("doc_id", "lang")),
+
+    // float-free tf-idf: top-3 terms per doc by (tf desc, df asc, term) —
+    // the lexicographic integer ranking is exactly oracle-reproducible
+    "q59_distinctive_terms" -> ((s, dir) =>
+      TextAnalysis.distinctiveTerms(
+        s.read.parquet(s"$dir/documents.parquet"), 3)
+        .select("doc_id", "rank", "term", "tf", "df")),
+
     // as-of join: each click attributed to the user's latest view at or
     // before it (union + running last-non-null window; single shuffle)
     "q53_asof_join" -> ((s, dir) => {
@@ -1157,6 +1181,32 @@ object SparkEntry {
          WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
                < floor(r.rate * 4294967296)::BIGINT""",
 
+    // same planes/signature/candidate construction as q31, left side =
+    // every 7th vector; the Spark multiprobe equi-join emits exactly the
+    // hamming<=2 pairs this bit_count join does
+    "q57_knn_join" -> annTop3Sql("q.vec_id % 7 = 0"),
+
+    // the contract stated directly: the 40 smallest md5(doc_id) per lang
+    // (row_number form; the Spark plan gets there without any window)
+    "q58_exactk_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+           FROM documents) t WHERE rn <= 40""",
+
+    // identical float-free ranking: tf per (doc, term), df cascaded off tf,
+    // top-3 by (tf desc, df asc, term asc)
+    "q59_distinctive_terms" ->
+      s"""WITH t AS (SELECT doc_id, unnest($WORDS) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rn
+               FROM tf JOIN df USING (term))
+         SELECT doc_id, rn AS rank, term, tf, df FROM r WHERE rn <= 3""",
+
     // identical union + running-last formulation; NULLS FIRST matches
     // Spark's ascending default, views (side 0) sort before clicks (side 1)
     // at equal timestamps so an exactly-simultaneous view matches
@@ -1204,8 +1254,14 @@ object SparkEntry {
     * hamming<=2 candidate set — the identical bucket/candidate/rank
     * semantics in ANSI SQL.
     */
-  private def lshAnnSql: String =
-    """WITH planes AS (
+  /** shared md5-plane sign-LSH candidate SQL: top-3 by cosine among the
+    * hamming<=2 signature neighborhood, for the query rows selected by
+    * `leftPred` — the same construction serves q31 (driver-collected query
+    * set) and q57 (distributed left side): both sides compute the identical
+    * candidate rule, so one oracle body covers both plans.
+    */
+  private def annTop3Sql(leftPred: String): String =
+    s"""WITH planes AS (
          SELECT p, list_transform(generate_series(1, (SELECT max(len(embedding)) FROM embeddings)),
            i -> CASE WHEN ('0x' || substr(md5(p::VARCHAR || ':' || (i - 1)::VARCHAR), 1, 1))::INT & 1 = 1
                 THEN 1.0 ELSE -1.0 END) AS sgn
@@ -1220,10 +1276,12 @@ object SparkEntry {
                 list_cosine_similarity(q.embedding::DOUBLE[], s.embedding::DOUBLE[]) AS sim
          FROM sigs q JOIN sigs s
            ON s.vec_id <> q.vec_id AND bit_count(xor(q.sig, s.sig)) <= 2
-         WHERE q.vec_id < 20)
+         WHERE $leftPred)
        SELECT qid AS vec_id, r AS rank, nid AS neighbor_id
        FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS r FROM cand) t
        WHERE r <= 3"""
+
+  private def lshAnnSql: String = annTop3Sql("q.vec_id < 20")
 
   /** simhash oracle: identical md5-derived 60-bit word hashes, bit votes. */
   private def simhashSql: String = {

@@ -79,6 +79,39 @@ object Sampling {
     df.filter(thr.isNotNull && hash32 < thr)
   }
 
+  /** Deterministic EXACT-size per-group sample: exactly `min(k, |group|)`
+    * rows per group, the k smallest by `md5(id)` — a uniform pseudo-random
+    * but reproducible pick ("give me 10k eval docs per language", seed-free
+    * holdout carving). Complements [[stratifiedSample]] (rate-based, size
+    * varies with the corpus) when the contract is a COUNT, not a rate.
+    *
+    * Scale shape: the naive idiom — `row_number() OVER (PARTITION BY g
+    * ORDER BY md5(id)) <= k` — sorts the ENTIRE group on one task (a
+    * half-the-corpus group is one task's sort). Here each group reduces
+    * through a [[TopKAgg]] bounded heap instead: partial aggregation caps
+    * every map-side buffer at k entries and the shuffle carries at most
+    * k rows per group per map task. One shuffle total; no window, no sort.
+    * k is assumed selection-sized (the buffer is O(k) PER GROUP PER TASK);
+    * for rate-sized extraction use [[stratifiedSample]].
+    *
+    * Output: (idCol, groupCol) of the kept rows.
+    */
+  def exactKSample(df: DataFrame, k: Int, groupCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    implicit val ord: Ordering[(String, Long)] =
+      Ordering.Tuple2(Ordering.String, Ordering.Long)
+    val topk = new TopKAgg[(String, Long)](k)
+    df.select(col(groupCol).cast("string").as("g"),
+        md5(col(idCol).cast("string")).as("h"), col(idCol).cast("long").as("id"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(topk.toColumn.name("picked"))
+      .flatMap { case (g, picked) => picked.iterator.map { case (_, id) => (id, g) } }
+      .toDF(idCol, groupCol)
+  }
+
   /** Pack documents into contiguous training shards of ~`budget` total
     * weight (tokens, chars, bytes): in global `idCol` order, a document's
     * shard is `floor(exclusive-prefix-sum(weight) / budget)` — the standard

@@ -232,4 +232,47 @@ object TextAnalysis {
           .when(col("n_lines") > 0 && nShort * 2 >= col("n_lines"), "short-line")
           .otherwise("ok"))
   }
+
+  /** Characteristic terms per document — a FLOAT-FREE tf-idf: each
+    * document's terms ranked by (term frequency DESC, corpus document
+    * frequency ASC, term ASC), top `k` kept. The lexicographic integer
+    * ranking captures the tf-idf ordering intent ("frequent here, rare
+    * elsewhere") while staying exactly reproducible cross-engine — a real
+    * tf*ln(N/df) double would tie-break on ULPs that differ between libm
+    * implementations, which no hash-gated oracle can tolerate.
+    *
+    * Scale shape: one explode feeds a per-(doc, term) count (shuffle on the
+    * pair key, map-side combine); document frequency CASCADES off that
+    * aggregate (`groupBy(term)` over one-row-per-(doc,term) — no second
+    * scan, no distinct); the df join is a sort-merge on the term key (a hot
+    * term is AQE-splittable); the final per-doc top-k runs through a
+    * [[TopKAgg]] bounded heap, so no task ever sorts a whole document's
+    * term list — partial aggregation caps every buffer at k entries.
+    *
+    * Output: (doc_id, rank, term, tf, df), rank 1..k.
+    */
+  def distinctiveTerms(docs: DataFrame, k: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(words(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    implicit val ord: Ordering[(Long, Long, String)] =
+      Ordering.by[(Long, Long, String), (Long, Long, String)](t => (-t._1, t._2, t._3))(
+        Ordering.Tuple3(Ordering.Long, Ordering.Long, Ordering.String))
+    val topk = new TopKAgg[(Long, Long, String)](k)
+    tf.join(docFreq, "term")
+      .select(col("doc_id"), col("tf"), col("df"), col("term"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3, t._4))
+      .agg(topk.toColumn.name("top"))
+      .flatMap { case (id, top) =>
+        top.iterator.zipWithIndex.map {
+          case ((tfv, dfv, term), i) => (id, i + 1, term, tfv, dfv)
+        }
+      }.toDF("doc_id", "rank", "term", "tf", "df")
+  }
 }

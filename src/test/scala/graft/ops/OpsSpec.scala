@@ -523,4 +523,92 @@ class OpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Sampling.mixtureSample(docs, Map.empty[String, Double]))
   }
+
+  test("knnJoin: full-probe at 2 planes equals exact brute force; bounded agg, no window") {
+    import spark.implicits._
+    val vecs = (0L until 30L).map(i =>
+      (i, (0 until 8).map(d => math.sin(i * 17.0 + d).toFloat))).toDF("vec_id", "embedding")
+    // planes=2, maxHamming=2 -> every signature probed -> candidate set is
+    // all pairs -> must equal brute force exactly
+    val kj = Similarity.knnJoin(vecs, vecs, k = 3, planes = 2, maxHamming = 2)
+    val brute = Similarity.bruteKnn(vecs, 0L until 30L, 3)
+    assert(kj.as[(Long, Int, Long)].collect().toSet ==
+      brute.as[(Long, Int, Long)].collect().toSet)
+    // scale shape: the per-query top-k is a bounded Aggregator with partial
+    // aggregation (two ObjectHashAggregate stages), never a window sort
+    val plan = kj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in knnJoin plan:\n$plan")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final object agg in:\n$plan")
+  }
+
+  test("knnJoin: recovers planted near-neighbors (recall >= 0.9); ranks contiguous") {
+    import spark.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding")).as[(Long, Seq[Float])]
+    // plant 3 near-copies of every 7th vector (same scheme as the lshAnn
+    // recall test: a near-copy is what an ANN join must find; the exact
+    // top-3 of a RANDOM vector is far away and invisible to any sign-LSH)
+    val planted = base.filter(_._1 % 7 == 0).collect().flatMap { case (id, v) =>
+      (1 to 3).map { j =>
+        val rnd = new scala.util.Random(id * 10 + j)
+        (100000L + id * 10 + j, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+      }
+    }
+    val uni = base.unionAll(planted.toSeq.toDS()).toDF("vec_id", "embedding")
+    val left = uni.filter(col("vec_id") % 7 === 0 && col("vec_id") < 100000L)
+    val ids = left.select(col("vec_id").cast("long")).as[Long].collect().toSeq
+    val brute = Similarity.bruteKnn(uni, ids, 3).as[(Long, Int, Long)].collect()
+    val kj = Similarity.knnJoin(left, uni, k = 3).as[(Long, Int, Long)].collect()
+    val got = kj.map(t => (t._1, t._3)).toSet
+    val want = brute.map(t => (t._1, t._3)).toSet
+    val recall = (got & want).size.toDouble / want.size
+    assert(recall >= 0.9, s"recall $recall")
+    // every returned neighbor list is ranked 1..n contiguously
+    kj.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length)) }
+  }
+
+  test("exactKSample: exact per-group count, md5-order determinism, small groups intact") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, if (i % 5 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.exactKSample(docs, 25).as[(Long, String)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byLang("en").size == 25 && byLang("de").size == 25)
+    // deterministic on re-run
+    val again = Sampling.exactKSample(docs, 25).as[(Long, String)].collect()
+    assert(again.toSet == out.toSet)
+    // k larger than a group: the whole group survives, exactly once
+    val big = Sampling.exactKSample(docs, 400).as[(Long, String)].collect()
+    assert(big.count(_._2 == "de") == 100 && big.count(_._2 == "en") == 400)
+    // the pick IS the k smallest md5s (the documented contract)
+    val wantEn = docs.filter(col("lang") === "en")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .orderBy("h").limit(25).as[(Long, String)].collect().map(_._1).toSet
+    assert(byLang("en") == wantEn)
+    // no window, partial aggregation present
+    val plan = Sampling.exactKSample(docs, 25).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in exactKSample plan:\n$plan")
+  }
+
+  test("distinctiveTerms: tf desc, df asc, term asc; float-free ranking") {
+    import spark.implicits._
+    val docs = Seq(
+      // "alpha" tf=3 but common (df=3); "rare" tf=2 df=1 -> tf wins first,
+      // then df breaks the tf=2 tie between "rare" (df=1) and "beta" (df=2)
+      (1L, "alpha alpha alpha rare rare beta beta zeta"),
+      (2L, "alpha beta common common"),
+      (3L, "alpha common")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.distinctiveTerms(docs, k = 3)
+      .as[(Long, Int, String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(out(1L) == Seq("alpha", "rare", "beta"))
+    // doc 2: common tf=2 leads; then the tf=1 tie breaks df asc -> beta
+    // (df 2) before alpha (df 3)
+    assert(out(2L) == Seq("common", "beta", "alpha"))
+    val plan = TextAnalysis.distinctiveTerms(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in distinctiveTerms plan:\n$plan")
+  }
 }
