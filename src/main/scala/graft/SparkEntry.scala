@@ -406,6 +406,22 @@ object SparkEntry {
       Dedup.incrementalExact(batch, seen).select("doc_id", "text_hash")
     }),
 
+    // the Bloom-prefiltered variant over the SAME planted universe: the
+    // filter only routes rows between the direct path and the confirm
+    // anti-join, so the output — and the oracle — are exactly q44's
+    "q60_incremental_dedup_bloom" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val seen = docs.filter(col("doc_id") < 200)
+        .select(md5(col("text")).as("text_hash"))
+      val batch = docs.filter(col("doc_id") >= 200)
+        .unionAll(docs.filter(col("doc_id").between(100, 149))
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+        .unionAll(docs.filter(col("doc_id").between(200, 219))
+          .withColumn("doc_id", col("doc_id") + 2000000L))
+      Dedup.incrementalExactBloom(batch, seen, expectedStoreItems = 200)
+        .select("doc_id", "text_hash")
+    }),
+
     // URL/domain curation: deterministic per-source URLs, two hosts
     // blocklisted (codegen'd IN predicate), per-host + registered-domain
     // counts
@@ -996,6 +1012,19 @@ object SparkEntry {
     // md5 hex agrees between engines; first-id-per-hash within the batch,
     // then anti-join against the store's distinct hashes
     "q44_incremental_dedup" ->
+      """WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 200),
+         batch AS (
+           SELECT doc_id, text FROM documents WHERE doc_id >= 200
+           UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id BETWEEN 100 AND 149
+           UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id BETWEEN 200 AND 219),
+         dd AS (SELECT doc_id, md5(text) AS text_hash,
+                row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM batch)
+         SELECT doc_id, text_hash FROM dd
+         WHERE rn = 1 AND text_hash NOT IN (SELECT h FROM seen)""",
+
+    // the Bloom prefilter is output-invisible by construction: same oracle
+    // as q44
+    "q60_incremental_dedup_bloom" ->
       """WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 200),
          batch AS (
            SELECT doc_id, text FROM documents WHERE doc_id >= 200

@@ -55,6 +55,54 @@ object Dedup {
       seenHashes.select(col("text_hash")).distinct(), Seq("text_hash"), "left_anti")
   }
 
+  /** [[incrementalExact]] with a Bloom-filter prefilter on the store side —
+    * the 100-TB shape of "dedup today's batch against the all-time
+    * fingerprint store". The plain anti-join shuffles the ENTIRE store's
+    * hash column every run even when the batch is a millionth of it; here
+    * the store is summarized once into a Bloom filter (one aggregation
+    * pass, no shuffle of store rows to the batch side), the filter is
+    * broadcast, and the batch splits into:
+    *   - bloom-NEGATIVE rows: definitely unseen — emitted directly, they
+    *     never touch a join;
+    *   - bloom-POSITIVE rows: true duplicates plus an `fpp` fraction of
+    *     false positives — only these (|dups| + fpp x |new|) rows reach the
+    *     exact anti-join for confirmation.
+    * The OUTPUT is therefore exactly [[incrementalExact]]'s — the filter's
+    * approximation moves rows between the cheap and expensive paths, never
+    * into or out of the result — which is what keeps this oracle-gateable
+    * (q60 shares q44's oracle semantics).
+    *
+    * Memory contract: the filter costs ~1.44 x log2(1/fpp) bits per
+    * expected item (~1.2 GB per 10^9 hashes at fpp 0.01) on the driver and
+    * each executor. At 10^12 store rows, partition the store by hash range
+    * and run this per partition, or raise fpp — correctness is unaffected,
+    * only the confirm-join's input size.
+    */
+  def incrementalExactBloom(newDocs: DataFrame, seenHashes: DataFrame,
+      expectedStoreItems: Long, fpp: Double = 0.01,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = newDocs.sparkSession
+    // within-batch first-id-wins collapse: identical to incrementalExact
+    val hashed = newDocs.withColumn("text_hash", md5(col(textCol)))
+    val rest = hashed.columns.filterNot(_ == "text_hash")
+    val ordered = Seq(idCol) ++ rest.filterNot(_ == idCol)
+    val firstPerHash = hashed
+      .groupBy("text_hash")
+      .agg(min(struct(ordered.map(col): _*)).as("_row"))
+      .select(col("text_hash") +: rest.map(c => col(s"_row.$c").as(c)): _*)
+    // Spark's bloomFilter agg NPEs on zero rows (null buffer) — an empty
+    // store means every batch row is definitely new, no filter needed
+    if (seenHashes.isEmpty) return firstPerHash
+    val bloom = seenHashes.stat.bloomFilter("text_hash", expectedStoreItems, fpp)
+    val bB = spark.sparkContext.broadcast(bloom)
+    val definitelyNew = firstPerHash
+      .filter(r => !bB.value.mightContainString(r.getAs[String]("text_hash")))
+    val needConfirm = firstPerHash
+      .filter(r => bB.value.mightContainString(r.getAs[String]("text_hash")))
+      .join(seenHashes.select(col("text_hash")).distinct(), Seq("text_hash"), "left_anti")
+    definitelyNew.unionByName(needConfirm)
+  }
+
   /** Distinct word n-gram shingles per doc, exploded to (doc_id, shingle).
     * Codegen'd column expressions only — no UDF.
     */

@@ -128,14 +128,21 @@ object Similarity {
             (qid, id, cosine(qv, v))
         }
       }
-    }.toDF("vec_id", "neighbor_id", "sim")
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
-      // sim stays internal: rank already encodes the ordering, and a raw
-      // double column would make the hash-compare against the oracle flaky
-      .select("vec_id", "rank", "neighbor_id")
+    }.map { case (qid, nid, sim) => (qid, sim, nid) }
+      // bounded top-k per query through TopKAgg, NOT a window: a degenerate
+      // corpus (everything in one signature bucket) would make the window
+      // partition for one query corpus-sized; the aggregator's map-side
+      // buffers stay at k entries regardless. sim stays internal: rank
+      // already encodes the ordering, and a raw double column would make
+      // the hash-compare against the oracle flaky.
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(new TopKAgg[(Double, Long)](k)(
+        Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))(
+          Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)),
+        implicitly).toColumn.name("nn"))
+      .flatMap { case (qid, nn) =>
+        nn.iterator.zipWithIndex.map { case ((_, nid), i) => (qid, i + 1, nid) }
+      }.toDF("vec_id", "rank", "neighbor_id")
   }
 
   /** IVF (inverted-file) ANN — the classic coarse-quantizer scale path:

@@ -524,6 +524,32 @@ class OpsSpec extends AnyFunSuite {
       Sampling.mixtureSample(docs, Map.empty[String, Double]))
   }
 
+  test("incrementalExactBloom: output identical to incrementalExact at any FP rate") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, s"text number ${i % 120}"))
+      .toDF("doc_id", "text")
+    val seen = docs.filter(col("doc_id") < 100).select(md5(col("text")).as("text_hash"))
+    val batch = docs.filter(col("doc_id") >= 100)
+    val want = Dedup.incrementalExact(batch, seen)
+      .select("doc_id", "text_hash").as[(Long, String)].collect().toSet
+    // a deliberately undersized filter saturates -> high REAL fp rate ->
+    // the confirm anti-join sees false positives and must pass the truly
+    // new rows through unchanged
+    val saturated = Dedup.incrementalExactBloom(batch, seen,
+        expectedStoreItems = 4, fpp = 0.5)
+      .select("doc_id", "text_hash").as[(Long, String)].collect().toSet
+    assert(saturated == want)
+    // and a well-sized one (most rows take the join-free negative path)
+    val sized = Dedup.incrementalExactBloom(batch, seen,
+        expectedStoreItems = 1000, fpp = 0.01)
+      .select("doc_id", "text_hash").as[(Long, String)].collect().toSet
+    assert(sized == want)
+    // empty store: everything is definitely-new, nothing joins
+    val empty = seen.filter(lit(false))
+    assert(Dedup.incrementalExactBloom(batch, empty, 1, 0.01).count() ==
+      Dedup.incrementalExact(batch, empty).count())
+  }
+
   test("knnJoin: full-probe at 2 planes equals exact brute force; bounded agg, no window") {
     import spark.implicits._
     val vecs = (0L until 30L).map(i =>
