@@ -418,7 +418,7 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + 1000000L))
         .unionAll(docs.filter(col("doc_id").between(200, 219))
           .withColumn("doc_id", col("doc_id") + 2000000L))
-      Dedup.incrementalExactBloom(batch, seen, expectedStoreItems = 200)
+      Dedup.incrementalExactBloom(batch, seen, expectedBatchItems = 400)
         .select("doc_id", "text_hash")
     }),
 

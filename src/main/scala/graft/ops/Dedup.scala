@@ -55,31 +55,32 @@ object Dedup {
       seenHashes.select(col("text_hash")).distinct(), Seq("text_hash"), "left_anti")
   }
 
-  /** [[incrementalExact]] with a Bloom-filter prefilter on the store side —
-    * the 100-TB shape of "dedup today's batch against the all-time
-    * fingerprint store". The plain anti-join shuffles the ENTIRE store's
-    * hash column every run even when the batch is a millionth of it; here
-    * the store is summarized once into a Bloom filter (one aggregation
-    * pass, no shuffle of store rows to the batch side), the filter is
-    * broadcast, and the batch splits into:
-    *   - bloom-NEGATIVE rows: definitely unseen — emitted directly, they
-    *     never touch a join;
-    *   - bloom-POSITIVE rows: true duplicates plus an `fpp` fraction of
-    *     false positives — only these (|dups| + fpp x |new|) rows reach the
-    *     exact anti-join for confirmation.
-    * The OUTPUT is therefore exactly [[incrementalExact]]'s — the filter's
-    * approximation moves rows between the cheap and expensive paths, never
-    * into or out of the result — which is what keeps this oracle-gateable
-    * (q60 shares q44's oracle semantics).
+  /** [[incrementalExact]] with a Bloom runtime filter — the 100-TB shape of
+    * "dedup today's batch against the all-time fingerprint store". The
+    * plain anti-join shuffles the ENTIRE store's hash column every run even
+    * when the batch is a millionth of it; here the filter runs in the
+    * cheap direction (the same direction as Spark's own runtime
+    * row-filtering): the BATCH's hashes — the small side, with exact
+    * driver-known cardinality — are summarized into a Bloom filter, the
+    * filter is broadcast, and the store is pruned MAP-SIDE before its
+    * exchange to only the hashes that might appear in the batch. The one
+    * anti-join then shuffles |batch ∩ store| + fpp x |store| store rows
+    * instead of all of them, and the batch side is unchanged.
     *
-    * Memory contract: the filter costs ~1.44 x log2(1/fpp) bits per
-    * expected item (~1.2 GB per 10^9 hashes at fpp 0.01) on the driver and
-    * each executor. At 10^12 store rows, partition the store by hash range
-    * and run this per partition, or raise fpp — correctness is unaffected,
-    * only the confirm-join's input size.
+    * The OUTPUT is exactly [[incrementalExact]]'s — a false positive only
+    * lets a store row through to the join, where the exact key comparison
+    * settles it; a batch row whose hash is NULL never matches any anti-join
+    * key and passes through on both paths — which is what keeps this
+    * oracle-gateable (q60 shares q44's oracle semantics).
+    *
+    * Costs: the batch pipeline is evaluated twice (once to build the
+    * filter, once under the join) — two passes over the SMALL side in
+    * exchange for not shuffling the large one; the filter itself is
+    * ~1.44 x log2(1/fpp) bits per expected batch hash (MBs for
+    * ingest-sized batches) on the driver and each executor.
     */
   def incrementalExactBloom(newDocs: DataFrame, seenHashes: DataFrame,
-      expectedStoreItems: Long, fpp: Double = 0.01,
+      expectedBatchItems: Long, fpp: Double = 0.01,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spark = newDocs.sparkSession
     // within-batch first-id-wins collapse: identical to incrementalExact
@@ -90,17 +91,19 @@ object Dedup {
       .groupBy("text_hash")
       .agg(min(struct(ordered.map(col): _*)).as("_row"))
       .select(col("text_hash") +: rest.map(c => col(s"_row.$c").as(c)): _*)
-    // Spark's bloomFilter agg NPEs on zero rows (null buffer) — an empty
-    // store means every batch row is definitely new, no filter needed
-    if (seenHashes.isEmpty) return firstPerHash
-    val bloom = seenHashes.stat.bloomFilter("text_hash", expectedStoreItems, fpp)
+    // the filter is built over the batch's NON-NULL hashes only: a null
+    // hash never matches an anti-join key, so it needs no representation —
+    // and Spark's bloomFilter builder NPEs on both null items and zero
+    // rows. No non-null hashes (empty batch or all-null text) short-
+    // circuits: the anti-join would be a no-op
+    val nonNull = firstPerHash.filter(col("text_hash").isNotNull)
+    if (nonNull.isEmpty) return firstPerHash
+    val bloom = nonNull.stat.bloomFilter("text_hash", expectedBatchItems, fpp)
     val bB = spark.sparkContext.broadcast(bloom)
-    val definitelyNew = firstPerHash
-      .filter(r => !bB.value.mightContainString(r.getAs[String]("text_hash")))
-    val needConfirm = firstPerHash
-      .filter(r => bB.value.mightContainString(r.getAs[String]("text_hash")))
-      .join(seenHashes.select(col("text_hash")).distinct(), Seq("text_hash"), "left_anti")
-    definitelyNew.unionByName(needConfirm)
+    val mightBeInBatch = udf((h: String) => h != null && bB.value.mightContainString(h))
+    val prunedStore = seenHashes.select(col("text_hash"))
+      .filter(mightBeInBatch(col("text_hash"))).distinct()
+    firstPerHash.join(prunedStore, Seq("text_hash"), "left_anti")
   }
 
   /** Distinct word n-gram shingles per doc, exploded to (doc_id, shingle).

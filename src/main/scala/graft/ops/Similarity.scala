@@ -90,38 +90,30 @@ object Similarity {
     */
   def lshAnn(emb: DataFrame, queryIds: Seq[Long], k: Int = 3, planes: Int = 10,
       maxHamming: Int = 2): DataFrame = {
+    require(planes >= 1 && planes <= 31,
+      "planes in 1..31 (the signature is an Int; 1 << p wraps past 31)")
     val spark = emb.sparkSession
     import spark.implicits._
-    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    // max, not first: planes must cover the longest vector (the oracle
+    // builds them from max(len(embedding)) too); shorter vectors just use
+    // a prefix of each plane
+    val dim = emb.select(max(size(col("embedding")))).first().getInt(0)
     val hyper = Array.tabulate(planes, dim)(planeSign)
     val hB = spark.sparkContext.broadcast(hyper)
-
-    def sigOf(h: Array[Array[Double]], v: Seq[Float]): Int = {
-      var sig = 0
-      var p = 0
-      while (p < h.length) {
-        var dot = 0.0; var i = 0
-        while (i < v.length) { dot += h(p)(i) * v(i); i += 1 }
-        if (dot >= 0) sig |= (1 << p)
-        p += 1
-      }
-      sig
-    }
-
     val typed = emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Seq[Float])]
     // queries come straight off the id-pruned scan and are signed
     // driver-side, so the corpus-wide signature projection below runs in
     // exactly ONE job (the previous shape materialized it twice: once for
     // the query collect, once for the scan)
     val queries = typed.where(col("vec_id").isin(queryIds: _*)).collect()
-      .map { case (id, v) => (id, sigOf(hyper, v), v) }
+      .map { case (id, v) => (id, signature(hyper, v), v) }
     val qB = spark.sparkContext.broadcast(queries)
 
     typed.mapPartitions { it =>
       val qs = qB.value
       val h = hB.value
       it.flatMap { case (id, v) =>
-        val sig = sigOf(h, v)
+        val sig = signature(h, v)
         qs.iterator.collect {
           case (qid, qsig, qv) if qid != id &&
               java.lang.Integer.bitCount(sig ^ qsig) <= maxHamming =>
@@ -343,9 +335,19 @@ object Similarity {
     */
   def knnJoin(left: DataFrame, right: DataFrame, k: Int = 3, planes: Int = 10,
       maxHamming: Int = 2): DataFrame = {
+    require(planes >= 1 && planes <= 31,
+      "planes in 1..31 (the signature is an Int; 1 << p wraps past 31)")
     val spark = left.sparkSession
     import spark.implicits._
-    val dim = right.select(size(col("embedding"))).first().getInt(0)
+    // max over BOTH sides, not a first row: the planes must cover the
+    // longest vector anywhere (a shorter vector uses a prefix of each
+    // plane); an empty pair of inputs has an empty answer, not a crash
+    val dimRow = left.select(max(size(col("embedding"))).as("d"))
+      .unionAll(right.select(max(size(col("embedding"))).as("d")))
+      .agg(max(col("d"))).first()
+    if (dimRow.isNullAt(0))
+      return Seq.empty[(Long, Int, Long)].toDF("vec_id", "rank", "neighbor_id")
+    val dim = dimRow.getInt(0)
     val hB = spark.sparkContext.broadcast(Array.tabulate(planes, dim)(planeSign))
 
     val r = right.select(col("vec_id").cast("long"), col("embedding"))

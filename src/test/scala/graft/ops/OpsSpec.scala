@@ -536,18 +536,37 @@ class OpsSpec extends AnyFunSuite {
     // the confirm anti-join sees false positives and must pass the truly
     // new rows through unchanged
     val saturated = Dedup.incrementalExactBloom(batch, seen,
-        expectedStoreItems = 4, fpp = 0.5)
+        expectedBatchItems = 4, fpp = 0.5)
       .select("doc_id", "text_hash").as[(Long, String)].collect().toSet
     assert(saturated == want)
     // and a well-sized one (most rows take the join-free negative path)
     val sized = Dedup.incrementalExactBloom(batch, seen,
-        expectedStoreItems = 1000, fpp = 0.01)
+        expectedBatchItems = 1000, fpp = 0.01)
       .select("doc_id", "text_hash").as[(Long, String)].collect().toSet
     assert(sized == want)
     // empty store: everything is definitely-new, nothing joins
     val empty = seen.filter(lit(false))
     assert(Dedup.incrementalExactBloom(batch, empty, 1, 0.01).count() ==
       Dedup.incrementalExact(batch, empty).count())
+    // null text: hashes to null, never matches the store, passes through
+    // on both paths (and must not NPE the bloom build)
+    val withNull = batch.unionAll(
+      Seq((9999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    assert(Dedup.incrementalExactBloom(withNull, seen, 1000, 0.01)
+      .filter(col("doc_id") === 9999L).count() == 1)
+    // an ALL-null batch short-circuits instead of NPEing the builder
+    val allNull = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(Dedup.incrementalExactBloom(allNull, seen, 1, 0.01).count() == 1)
+  }
+
+  test("knnJoin: guards — planes out of range throws, empty right is empty not a crash") {
+    import spark.implicits._
+    val vecs = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    assertThrows[IllegalArgumentException](
+      Similarity.knnJoin(vecs, vecs, planes = 32))
+    val none = vecs.filter(lit(false))
+    assert(Similarity.knnJoin(vecs, none).count() == 0)
+    assert(Similarity.knnJoin(none, none).count() == 0)
   }
 
   test("knnJoin: full-probe at 2 planes equals exact brute force; bounded agg, no window") {
