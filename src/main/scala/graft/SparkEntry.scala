@@ -564,6 +564,35 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), 3)
         .select("doc_id", "rank", "term", "tf", "df")),
 
+    // epoch-weighted repetition: en x2.5 (2 guaranteed + Bernoulli(0.5)),
+    // de x0.5 (fractional downsample), others pass through at 1
+    "q61_upsample_epochs" -> ((s, dir) =>
+      Sampling.upsampleEpochs(
+        s.read.parquet(s"$dir/documents.parquet"), Map("en" -> 2.5, "de" -> 0.5))
+        .select("doc_id", "lang", "epoch")),
+
+    // URL canonicalization + dedup: scheme/host case, tracking params and
+    // fragments collapse ids sharing (source, doc_id % 300, real query);
+    // the oracle replays the identical regexp_replace chain in RE2
+    "q62_url_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("url", concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+          col("source"), lit(".Example.COM/d/"), (col("doc_id") % 300).cast("string"),
+          when(col("doc_id") % 4 === 0, lit("?utm_source=x&utm_medium=y"))
+            .when(col("doc_id") % 4 === 1, lit("?id=7&utm_campaign=z#frag"))
+            .when(col("doc_id") % 4 === 2, lit("#section2"))
+            .otherwise(lit(""))))
+        .select("doc_id", "url")
+      WebOps.urlDedup(docs).select("doc_id", "url", "canon_url")
+    }),
+
+    // deterministic global training-order shuffle: 0-based rank in
+    // md5(doc_id) order via the distributed two-pass prefix rank
+    "q63_shuffle_order" -> ((s, dir) =>
+      Sampling.shuffleOrder(s.read.parquet(s"$dir/documents.parquet"))
+        .select("doc_id", "pos")),
+
     // as-of join: each click attributed to the user's latest view at or
     // before it (union + running last-non-null window; single shuffle)
     "q53_asof_join" -> ((s, dir) => {
@@ -1214,6 +1243,60 @@ object SparkEntry {
     // every 7th vector; the Spark multiprobe equi-join emits exactly the
     // hamming<=2 pairs this bit_count join does
     "q57_knn_join" -> annTop3Sql("q.vec_id % 7 = 0"),
+
+    // identical copy-count derivation: integer part by CASE, fractional
+    // part by the 2^32-scaled md5 threshold (floor exact in IEEE double)
+    "q61_upsample_epochs" ->
+      """WITH p AS (
+           SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 0 ELSE 1 END
+               + CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT <
+                      CASE lang WHEN 'en' THEN floor(0.5 * 4294967296)::BIGINT
+                                WHEN 'de' THEN floor(0.5 * 4294967296)::BIGINT
+                                ELSE 0 END
+                 THEN 1 ELSE 0 END AS copies
+           FROM documents)
+         SELECT doc_id, lang, unnest(generate_series(0, copies - 1)) AS epoch
+         FROM p WHERE copies > 0""",
+
+    // the same regexp_replace chain replayed in RE2 ('g' = Spark's
+    // replace-all), then first-id-wins per canonical key
+    "q62_url_dedup" ->
+      """WITH u AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+               || source || '.Example.COM/d/' || (doc_id % 300)::VARCHAR ||
+             (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&utm_medium=y'
+                   WHEN doc_id % 4 = 1 THEN '?id=7&utm_campaign=z#frag'
+                   WHEN doc_id % 4 = 2 THEN '#section2' ELSE '' END) AS url
+           FROM documents),
+         c AS (
+           SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(url, '#.*$', '', 'g'),
+                   '(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*&', '', 'g'),
+                 '[?&](utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*$', '', 'g'),
+               '\?$', '', 'g') AS s4
+           FROM u),
+         k AS (
+           SELECT doc_id, url,
+             lower(regexp_extract(s4, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+               || substr(s4, len(regexp_extract(s4, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) + 1)
+               AS canon_url
+           FROM c)
+         SELECT doc_id, url, canon_url FROM (
+           SELECT doc_id, url, canon_url,
+             row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) AS rn
+           FROM k) t WHERE rn = 1""",
+
+    // the declarative statement of the same rank (ties impossible: md5 of
+    // distinct ids is injective here, doc_id breaks any residual tie)
+    "q63_shuffle_order" ->
+      """SELECT doc_id,
+           row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS pos
+         FROM documents""",
 
     // the contract stated directly: the 40 smallest md5(doc_id) per lang
     // (row_number form; the Spark plan gets there without any window)

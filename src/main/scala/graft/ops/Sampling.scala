@@ -112,6 +112,82 @@ object Sampling {
       .toDF(idCol, groupCol)
   }
 
+  /** Epoch-weighted deterministic upsampling — the "wiki x3.5, web x1"
+    * repetition step of a training mix: a row in group g with target
+    * `epochs(g) = e` is emitted `floor(e)` times plus one more with
+    * probability `frac(e)`, decided by the same md5-threshold rule as
+    * [[stratifiedSample]] (so re-runs and corpus extensions repeat the
+    * same rows). Groups absent from the map pass through at 1 epoch.
+    * Output: every kept copy with an `epoch` index column (0-based) so a
+    * training reader can tell repetitions apart. `epochs(g) < 1` is
+    * fractional downsampling (a row may get 0 copies and vanish) —
+    * [[mixtureSample]]'s semantics as a special case.
+    *
+    * Scale shape: one codegen'd projection + explode — no shuffle, no
+    * join, no state; the integer parts and 2^32-scaled fractional
+    * thresholds are driver-computed literals (floor is IEEE-exact on both
+    * engines, so the oracle reproduces membership bit-for-bit).
+    */
+  def upsampleEpochs(df: DataFrame, epochs: Map[String, Double],
+      groupCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    require(epochs.nonEmpty && epochs.values.forall(e => e >= 0 && e <= 100),
+      "epochs must be non-empty, in [0, 100]")
+    val intPart: Map[String, Int] = epochs.map { case (g, e) => (g, e.toInt) }
+    val fracThr: Map[String, Long] = epochs.map { case (g, e) =>
+      (g, math.floor((e - e.toInt) * 4294967296.0).toLong)
+    }
+    val hash32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val copies = coalesce(element_at(typedLit(intPart), col(groupCol)), lit(1)) +
+      when(hash32 < coalesce(element_at(typedLit(fracThr), col(groupCol)), lit(0L)),
+        lit(1)).otherwise(lit(0))
+    df.withColumn("_copies", copies)
+      .withColumn("epoch", explode(
+        when(col("_copies") > 0, sequence(lit(0), col("_copies") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .drop("_copies")
+  }
+
+  /** Deterministic global training-order shuffle: every row's 0-based
+    * position in md5(id) order — the "shuffle the corpus once, then read
+    * sequentially" step before shard packing. Pure function of the ids:
+    * re-runs give the same permutation, and it is uniform for any id
+    * distribution because md5 is.
+    *
+    * Scale shape: the same distributed two-pass prefix rank as
+    * [[packShards]] (whose scaladoc explains why a global window is NOT
+    * the answer): range-partition on the hash, checkpoint the layout,
+    * fold per-partition counts into exclusive offsets on the driver
+    * (rows = partition count), then a local sort + running counter per
+    * partition. No corpus-sized window, one range shuffle total.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val base = df
+      .select(col(idCol), md5(col(idCol).cast("string")).as("_h"))
+      .repartitionByRange(col("_h"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = base.groupBy("_pid").agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }.toMap
+    }
+    val outSchema = StructType(Seq(
+      base.schema(idCol), StructField("pos", LongType, nullable = false)))
+    base.sortWithinPartitions("_h", idCol)
+      .mapPartitions { it =>
+        var acc = 0L
+        var seeded = false
+        it.map { row =>
+          if (!seeded) { acc = offsets(row.getInt(2)); seeded = true }
+          val r = Row(row.get(0), acc)
+          acc += 1
+          r
+        }
+      }(Encoders.row(outSchema))
+  }
+
   /** Pack documents into contiguous training shards of ~`budget` total
     * weight (tokens, chars, bytes): in global `idCol` order, a document's
     * shard is `floor(exclusive-prefix-sum(weight) / budget)` — the standard

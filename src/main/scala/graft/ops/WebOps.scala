@@ -58,4 +58,47 @@ object WebOps {
       .join(broadcast(blocked.select(lower(col("host")).as("_host")).distinct()),
         Seq("_host"), "left_anti")
       .drop("_host")
+
+  /** Canonical form of a URL for dedup keying: fragment stripped, tracking
+    * query parameters (`utm_*`, `fbclid`, `gclid`) removed with their
+    * separators repaired, dangling `?` dropped, and the scheme://host
+    * prefix lowercased (path and surviving query stay case-sensitive, as
+    * the URL spec says they are). A deterministic regexp_replace chain —
+    * every pattern anchored-character-class only, so Java regex and RE2
+    * produce identical results and a DuckDB oracle can replay it verbatim
+    * (global-replace on both engines). Codegen'd, no UDF.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    // a tracked param followed by another param: drop it AND its trailing &
+    val noMid = regexp_replace(noFrag,
+      "(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*&", "")
+    // a tracked param in final position: drop it AND its leading ? or &
+    val noTail = regexp_replace(noMid,
+      "[?&](utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*$", "")
+    val noDangling = regexp_replace(noTail, "\\?$", "")
+    val prefix = regexp_extract(noDangling, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    concat(lower(prefix), noDangling.substr(length(prefix) + 1, length(noDangling)))
+  }
+
+  /** URL-keyed dedup: one document survives per [[canonicalUrl]] — the
+    * smallest id wins, so recrawls and scheme/tracking-param variants
+    * collapse deterministically. Output: the kept rows plus their
+    * `canon_url`.
+    *
+    * Scale shape: the canonical key is a codegen'd projection; ownership
+    * is `min(struct(id, ...))` with map-side partial aggregation (the
+    * [[graft.ops.Dedup.incrementalExact]] pattern — a hot URL costs each
+    * map task one buffered row, never a window partition).
+    */
+  def urlDedup(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame = {
+    val keyed = docs.withColumn("canon_url", canonicalUrl(col(urlCol)))
+    val rest = keyed.columns.filterNot(_ == "canon_url")
+    val ordered = Seq(idCol) ++ rest.filterNot(_ == idCol)
+    keyed
+      .groupBy("canon_url")
+      .agg(min(struct(ordered.map(col): _*)).as("_row"))
+      .select(col("canon_url") +: rest.map(c => col(s"_row.$c").as(c)): _*)
+  }
 }

@@ -559,6 +559,70 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.incrementalExactBloom(allNull, seen, 1, 0.01).count() == 1)
   }
 
+  test("upsampleEpochs: integer part exact, fractional part ~Bernoulli, epoch indices 0-based") {
+    import spark.implicits._
+    val docs = (0L until 3000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.upsampleEpochs(docs, Map("en" -> 2.5, "de" -> 0.5))
+      .select("doc_id", "lang", "epoch").as[(Long, String, Int)].collect()
+    val en = out.filter(_._2 == "en")
+    // every en doc appears at least twice (epochs 0 and 1), ~half thrice
+    assert(en.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._3).sorted.sameElements(0 until rows.length) && rows.length >= 2 })
+    val enThird = en.count(_._3 == 2)
+    assert(math.abs(enThird - 500) < 80, s"en third-epoch count $enThird")
+    // de at 0.5: ~half survive with exactly one copy
+    val de = out.filter(_._2 == "de")
+    assert(de.forall(_._3 == 0) && math.abs(de.length - 500) < 80, s"de ${de.length}")
+    // untargeted group passes through at exactly 1 epoch
+    assert(out.count(_._2 == "xx") == 1000)
+    // deterministic on re-run
+    val again = Sampling.upsampleEpochs(docs, Map("en" -> 2.5, "de" -> 0.5))
+      .select("doc_id", "lang", "epoch").as[(Long, String, Int)].collect()
+    assert(again.toSet == out.toSet)
+    assertThrows[IllegalArgumentException](
+      Sampling.upsampleEpochs(docs, Map("en" -> -1.0)))
+  }
+
+  test("shuffleOrder: a permutation of 0..n-1 in md5 order, stable across partitionings") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val out = Sampling.shuffleOrder(docs).as[(Long, Long)].collect()
+    assert(out.map(_._2).sorted.sameElements(0L until 500L))
+    // matches the declarative rule exactly
+    val want = docs.select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .orderBy("h").as[(Long, String)].collect().map(_._1)
+      .zipWithIndex.map { case (id, i) => (id, i.toLong) }.toMap
+    assert(out.toMap == want)
+    // the permutation is a property of the ids, not the physical layout
+    val repart = Sampling.shuffleOrder(docs.repartition(7)).as[(Long, Long)].collect()
+    assert(repart.toMap == want)
+  }
+
+  test("canonicalUrl/urlDedup: tracking params, fragments, case; min-id wins per canon") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "HTTPS://A.Example.COM/d/1?utm_source=x&id=2&utm_medium=y#frag",
+        "https://a.example.com/d/1?id=2"),
+      (2L, "https://a.example.com/d/1?id=2", "https://a.example.com/d/1?id=2"),
+      (3L, "http://b.example.com/P?utm_campaign=z", "http://b.example.com/P"),
+      (4L, "http://b.example.com/P", "http://b.example.com/P"),
+      (5L, "not a url at all", "not a url at all"),
+      (6L, "https://c.example.com/x?fbclid=123", "https://c.example.com/x")
+    ).toDF("doc_id", "url", "want")
+    val got = cases.withColumn("canon", WebOps.canonicalUrl(col("url")))
+      .select("doc_id", "canon", "want").as[(Long, String, String)].collect()
+    got.foreach { case (id, canon, want) => assert(canon == want, s"doc $id: $canon") }
+    // dedup: docs 1+2 collapse (1 wins), 3+4 collapse (3 wins), 5, 6 survive
+    val kept = WebOps.urlDedup(cases.drop("want"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L, 6L))
+    // no window in the plan (ownership is an aggregation)
+    val plan = WebOps.urlDedup(cases.drop("want")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in urlDedup plan:\n$plan")
+  }
+
   test("knnJoin: guards — planes out of range throws, empty right is empty not a crash") {
     import spark.implicits._
     val vecs = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("vec_id", "embedding")
