@@ -557,6 +557,17 @@ class OpsSpec extends AnyFunSuite {
     // an ALL-null batch short-circuits instead of NPEing the builder
     val allNull = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
     assert(Dedup.incrementalExactBloom(allNull, seen, 1, 0.01).count() == 1)
+    // plan pin: the bloom prune (a UDF filter) sits on the STORE side,
+    // upstream of the single anti-join, so the store never shuffles whole.
+    // Parquet-backed inputs — a local relation would constant-fold the
+    // deterministic UDF away at optimization time and hide the shape.
+    val docsP = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val seenP = docsP.filter(col("doc_id") < 20).select(md5(col("text")).as("text_hash"))
+    val plan = Dedup.incrementalExactBloom(docsP.filter(col("doc_id") >= 20), seenP, 1000, 0.01)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"no anti-join in:\n$plan")
+    assert(plan.contains("UDF("), s"no bloom prune filter in:\n$plan")
   }
 
   test("upsampleEpochs: integer part exact, fractional part ~Bernoulli, epoch indices 0-based") {
