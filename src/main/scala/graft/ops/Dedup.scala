@@ -524,16 +524,15 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(max("truncated").as("truncated"))
 
     // exact cosine verification of every candidate; the truncated flag rides
-    // through to the output so hot-bucket recall loss is never silent
+    // through to the output so hot-bucket recall loss is never silent.
+    // Scoring is the native codegen'd cosine_sim expression — the vectors
+    // are read from Tungsten ArrayData, never deserialized to Seq[Float]
+    // (bit-identical to Similarity.cosine, so the q33/q41 hashes hold)
     val vecs = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
     candidates
       .join(vecs.withColumnRenamed("vec_id", "id_a").withColumnRenamed("embedding", "ea"), "id_a")
       .join(vecs.withColumnRenamed("vec_id", "id_b").withColumnRenamed("embedding", "eb"), "id_b")
-      .select(col("id_a"), col("id_b"), col("truncated"), col("ea"), col("eb"))
-      .as[(Long, Long, Int, Seq[Float], Seq[Float])]
-      .flatMap { case (a, b, tr, ea, eb) =>
-        val c = Similarity.cosine(ea, eb)
-        if (c >= tau) Some((a, b, tr)) else None
-      }.toDF("id_a", "id_b", "truncated")
+      .filter(graft.spark.VectorFunctions.cosineSim(col("ea"), col("eb")) >= tau)
+      .select(col("id_a"), col("id_b"), col("truncated"))
   }
 }

@@ -361,12 +361,15 @@ object Similarity {
       }.toDF("l_id", "sig", "l_vec")
 
     // each right signature equals AT MOST ONE probe of a given left row, so
-    // the join emits every hamming<=maxHamming pair exactly once — no dedup
+    // the join emits every hamming<=maxHamming pair exactly once — no dedup.
+    // Scoring via the codegen'd cosine_sim expression: pairs are ranked
+    // without ever deserializing the vectors (bit-identical to cosine())
     val scored = l.join(r, Seq("sig"))
       .filter(col("l_id") =!= col("r_id"))
-      .select(col("l_id"), col("l_vec"), col("r_id"), col("r_vec"))
-      .as[(Long, Seq[Float], Long, Seq[Float])]
-      .map { case (lid, lv, rid, rv) => (lid, cosine(lv, rv), rid) }
+      .select(col("l_id"),
+        graft.spark.VectorFunctions.cosineSim(col("l_vec"), col("r_vec")).as("sim"),
+        col("r_id"))
+      .as[(Long, Double, Long)]
 
     implicit val ord: Ordering[(Double, Long)] =
       Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))(

@@ -94,5 +94,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_extract"),
       new ExpressionInfo(classOf[ExtractDocExpr].getName, "graft_extract"),
       (exprs: Seq[Expression]) => ExtractDocExpr(exprs)))
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1))))
   }
 }

@@ -1,0 +1,69 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, GraftFloatArrayBinaryInput, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Embedding-vector kernels as NATIVE Catalyst expressions, same rationale
+  * as [[TextFunctions]]: `doGenCode` emits a static call so the scoring of
+  * billions of candidate pairs (near-dup verification, kNN-join ranking)
+  * stays inside WholeStageCodegen and the float arrays are read straight
+  * from Tungsten `ArrayData` — never deserialized to `Seq[Float]`.
+  */
+object VectorFunctions {
+
+  /** static shim for generated code: bit-identical to
+    * [[graft.ops.Similarity.cosine]] (same per-iteration accumulation
+    * order, double precision, min-length zip, zero-norm -> 0.0) so the
+    * hash-gated oracles (q33/q41/q57) see the exact same doubles. Null
+    * ARRAY inputs are handled by nullSafeEval/codegen upstream; null
+    * ELEMENTS are not supported (embeddings are dense).
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "cosine_sim", "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString, "docroot" -> ""))
+        CosineSimExpr(exprs(0), exprs(1))
+      }, "scala_udf")
+
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSimExpr(expression(a), expression(b)))
+}
+
+/** cosine_sim(array<float>, array<float>) -> double. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with GraftFloatArrayBinaryInput {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorFunctions.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.spark.VectorFunctions.cosine($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

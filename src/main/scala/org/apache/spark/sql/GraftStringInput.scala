@@ -12,3 +12,10 @@ import org.apache.spark.sql.types.{AbstractDataType, StringType}
 trait GraftStringUnaryInput extends ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
 }
+
+/** Same purpose for the vector kernels: strict array<float> x2. */
+trait GraftFloatArrayBinaryInput extends ExpectsInputTypes {
+  import org.apache.spark.sql.types.{ArrayType, FloatType}
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+}

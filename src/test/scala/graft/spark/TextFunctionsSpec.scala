@@ -66,4 +66,35 @@ class TextFunctionsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [cleantextexpr"), plan)
   }
+
+  test("cosine_sim: bit-identical to Similarity.cosine, null-safe, codegen, SQL-callable") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).map { i =>
+      val d = 4 + (i % 5) // unequal lengths exercise the min-length zip
+      (Seq.fill(8)(rnd.nextGaussian().toFloat), Seq.fill(d)(rnd.nextGaussian().toFloat))
+    } :+ ((Seq(0f, 0f), Seq(1f, 2f))) // zero norm -> 0.0
+    val df = rows.toDF("a", "b")
+    val got = df.select(VectorFunctions.cosineSim(col("a"), col("b"))).as[Double].collect()
+    val want = rows.map { case (a, b) => graft.ops.Similarity.cosine(a, b) }
+    assert(got.toSeq == want, "expression must equal the Scala kernel bit-for-bit")
+    // SQL registration
+    val sql = df.selectExpr("cosine_sim(a, b)").as[Double].collect()
+    assert(sql.toSeq == want)
+    // null arrays -> null result
+    assert(df.select(VectorFunctions.cosineSim(lit(null).cast("array<float>"), col("b")))
+      .as[Option[Double]].collect().forall(_.isEmpty))
+    // codegen: on a non-local source the expression runs inside a `*(n)` span
+    val cg = spark.range(3)
+      .select(VectorFunctions.cosineSim(
+        array(col("id").cast("float"), lit(1f)),
+        array(lit(1f), col("id").cast("float"))).as("c"))
+    val plan = cg.queryExecution.executedPlan.toString
+    assert(plan.contains("Project [cosinesimexpr") && plan.contains("*(1)"), plan)
+    // wrong arity fails analysis cleanly
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("cosine_sim(a)").collect()
+    }
+  }
 }
