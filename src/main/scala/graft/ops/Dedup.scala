@@ -532,7 +532,11 @@ object Dedup {
     candidates
       .join(vecs.withColumnRenamed("vec_id", "id_a").withColumnRenamed("embedding", "ea"), "id_a")
       .join(vecs.withColumnRenamed("vec_id", "id_b").withColumnRenamed("embedding", "eb"), "id_b")
-      .filter(graft.spark.VectorFunctions.cosineSim(col("ea"), col("eb")) >= tau)
+      // the isnan guard keeps the Scala-comparison semantics: SQL orders
+      // NaN ABOVE every number, so a corrupt (NaN-component) embedding
+      // would otherwise pass >= tau and confirm a bogus duplicate
+      .withColumn("_sim", graft.spark.VectorFunctions.cosineSim(col("ea"), col("eb")))
+      .filter(!isnan(col("_sim")) && col("_sim") >= tau)
       .select(col("id_a"), col("id_b"), col("truncated"))
   }
 }

@@ -26,18 +26,24 @@ object TextFunctions {
     UTF8String.fromString(graft.core.Entities.convert(s.toString))
 
   /** arity check in the builder: a wrong-arity SQL call gets a clean
-    * AnalysisException instead of a crash at exprs.head
+    * AnalysisException instead of a crash or silently-dropped arguments.
+    * Shared by BOTH registration paths (createOrReplaceTempFunction and
+    * the [[GraftExtensions]] injection) so they cannot disagree.
     */
-  private[spark] def unary(name: String, exprs: Seq[Expression])
-      (build: Expression => Expression): Expression = {
-    if (exprs.length != 1)
+  private[spark] def nary(name: String, n: Int, exprs: Seq[Expression])
+      (build: Seq[Expression] => Expression): Expression = {
+    if (exprs.length != n)
       throw new org.apache.spark.sql.AnalysisException(
         errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
         messageParameters = Map(
-          "functionName" -> name, "expectedNum" -> "1",
+          "functionName" -> name, "expectedNum" -> n.toString,
           "actualNum" -> exprs.length.toString, "docroot" -> ""))
-    build(exprs.head)
+    build(exprs)
   }
+
+  private[spark] def unary(name: String, exprs: Seq[Expression])
+      (build: Expression => Expression): Expression =
+    nary(name, 1, exprs)(es => build(es.head))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -96,6 +102,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => ExtractDocExpr(exprs)))
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => TextFunctions.nary("cosine_sim", 2, exprs)(
+        es => CosineSimExpr(es(0), es(1)))))
   }
 }

@@ -18,8 +18,10 @@ object VectorFunctions {
     * [[graft.ops.Similarity.cosine]] (same per-iteration accumulation
     * order, double precision, min-length zip, zero-norm -> 0.0) so the
     * hash-gated oracles (q33/q41/q57) see the exact same doubles. Null
-    * ARRAY inputs are handled by nullSafeEval/codegen upstream; null
-    * ELEMENTS are not supported (embeddings are dense).
+    * ARRAY inputs propagate to a null result (nullSafeEval/codegen). Null
+    * ELEMENTS are OUT OF CONTRACT: `ArrayData.getFloat` reads a null slot
+    * as 0.0f with no error — embeddings are dense by definition; validate
+    * upstream if the source can produce sparse arrays.
     */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -39,15 +41,8 @@ object VectorFunctions {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
-      exprs => {
-        if (exprs.length != 2)
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            messageParameters = Map(
-              "functionName" -> "cosine_sim", "expectedNum" -> "2",
-              "actualNum" -> exprs.length.toString, "docroot" -> ""))
-        CosineSimExpr(exprs(0), exprs(1))
-      }, "scala_udf")
+      exprs => TextFunctions.nary("cosine_sim", 2, exprs)(
+        es => CosineSimExpr(es(0), es(1))), "scala_udf")
 
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
   def cosineSim(a: Column, b: Column): Column =

@@ -100,6 +100,20 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == exact, s"missing=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
   }
 
+  test("embeddingNearDup: NaN similarity is rejected, not confirmed (SQL NaN > tau quirk)") {
+    import spark.implicits._
+    // two identical finite vectors (a true pair) + a NaN-corrupted copy:
+    // the corrupt vector lands in the same bucket but must never verify
+    val docs = Seq(
+      (1L, Seq(1f, 2f, 3f, 4f)),
+      (2L, Seq(1f, 2f, 3f, 4f)),
+      (3L, Seq(Float.NaN, 2f, 3f, 4f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(docs, tau = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("embeddingNearDup: hot buckets are capped, pair generation never quadratic") {
     import spark.implicits._
     // 100 identical vectors -> one hot bucket per table; uncapped this is
@@ -561,13 +575,28 @@ class OpsSpec extends AnyFunSuite {
     // upstream of the single anti-join, so the store never shuffles whole.
     // Parquet-backed inputs — a local relation would constant-fold the
     // deterministic UDF away at optimization time and hide the shape.
-    val docsP = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    val seenP = docsP.filter(col("doc_id") < 20).select(md5(col("text")).as("text_hash"))
-    val plan = Dedup.incrementalExactBloom(docsP.filter(col("doc_id") >= 20), seenP, 1000, 0.01)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("LeftAnti"), s"no anti-join in:\n$plan")
-    assert(plan.contains("UDF("), s"no bloom prune filter in:\n$plan")
+    // AQE off so the join node is inspectable before execution; the
+    // assertion walks the RIGHT (store) subtree specifically — a filter
+    // that migrated to the batch side must fail this, not pass it.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docsP = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val seenP = docsP.filter(col("doc_id") < 20).select(md5(col("text")).as("text_hash"))
+      val exec = Dedup.incrementalExactBloom(docsP.filter(col("doc_id") >= 20), seenP, 1000, 0.01)
+        .queryExecution.executedPlan
+      val joins = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.joinType.toString == "LeftAnti" => j
+      }
+      assert(joins.size == 1, s"expected one anti-join in:\n$exec")
+      val storeSide = joins.head.right.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.toString.contains("UDF") => f
+      }
+      assert(storeSide.nonEmpty,
+        s"bloom prune filter not on the store side of:\n$exec")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("upsampleEpochs: integer part exact, fractional part ~Bernoulli, epoch indices 0-based") {
