@@ -593,6 +593,14 @@ object SparkEntry {
       Sampling.shuffleOrder(s.read.parquet(s"$dir/documents.parquet"))
         .select("doc_id", "pos")),
 
+    // multimodal training pairs off the interleaved span model: each media
+    // span paired with its nearest following text span (q08/q09 layouts
+    // make the expected pairs closed-form: xml figures caption to 'NOTES k',
+    // the pdf image to the second text run when it exists)
+    "q64_media_captions" -> ((s, dir) =>
+      Multimodal.mediaCaptionPairs(extractFmt(s, dir, Seq(3, 4, 8, 9)))
+        .select("doc_id", "media_ref", "caption")),
+
     // as-of join: each click attributed to the user's latest view at or
     // before it (union + running last-non-null window; single shuffle)
     "q53_asof_join" -> ((s, dir) => {
@@ -1297,6 +1305,21 @@ object SparkEntry {
       """SELECT doc_id,
            row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS pos
          FROM documents""",
+
+    // closed-form from the q08/q09 span layouts: both xml figures sit
+    // before the 'NOTES k' text span; the pdf image's following text is
+    // the second half-run, which exists only when the word list splits
+    "q64_media_captions" ->
+      s"""WITH dx AS (SELECT doc_id FROM documents WHERE doc_id % 10 IN (3, 4)),
+          dp AS (SELECT doc_id, w, (len(w) + 1) // 2 AS h
+                 FROM (SELECT doc_id, $WORDS AS w FROM documents WHERE doc_id % 10 IN (8, 9)) t)
+          SELECT $K AS doc_id, 'fig' || $K || 'a.gif' AS media_ref,
+                 'NOTES ' || $K AS caption FROM dx
+          UNION ALL SELECT $K, 'fig' || $K || 'b.gif', 'NOTES ' || $K FROM dx
+          UNION ALL SELECT $K, 'pimg' || $K || '.png',
+                 CASE WHEN len(w) > h THEN array_to_string(w[h+1:len(w)], ' ')
+                      ELSE NULL END
+          FROM dp""",
 
     // the contract stated directly: the 40 smallest md5(doc_id) per lang
     // (row_number form; the Spark plan gets there without any window)

@@ -95,4 +95,34 @@ object Multimodal {
       .as[(String, String)]
       .map { case (d, r) => MediaIn(d, r, synthBytes(r)) }
   }
+
+  /** Image-caption pair extraction from the interleaved span model — the
+    * standard multimodal-training-data derivation: every `media` span is
+    * paired with its NEAREST FOLLOWING `text` span in document order
+    * (figure first, caption/discussion after — the layout the extractors
+    * emit); a trailing media span with no text after it gets a null
+    * caption rather than vanishing. Output: (doc_id, media_ref, caption).
+    *
+    * Scale shape: one explode + one window PARTITIONED BY doc_id ordered
+    * by span position — the partition is one document's span list (pages,
+    * not the corpus), and the "nearest following text" is a running
+    * `last(.., ignoreNulls)` over the DESCENDING order, an incremental
+    * frame (no per-row lookahead scans). One shuffle on doc_id.
+    */
+  def mediaCaptionPairs(extracted: DataFrame): DataFrame = {
+    val spans = extracted
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), col("s.kind").as("kind"),
+        col("s.text").as("text"), col("s.media_ref").as("media_ref"))
+    // scanning positions in DESCENDING order, the last text seen so far is
+    // exactly the nearest text span AFTER the current position
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("pos").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spans
+      .withColumn("caption",
+        last(when(col("kind") === "text", col("text")), ignoreNulls = true).over(w))
+      .filter(col("kind") === "media")
+      .select(col("doc_id"), col("media_ref"), col("caption"))
+  }
 }

@@ -599,6 +599,22 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("mediaCaptionPairs: nearest following text; consecutive media share; trailing is null") {
+    import spark.implicits._
+    import graft.core.Span
+    val docs = Seq(
+      ("d1", Seq(Span("text", "intro", null, 0), Span("media", null, "m1", 1),
+        Span("media", null, "m2", 2), Span("text", "the caption", null, 3),
+        Span("media", null, "m3", 4))),
+      ("d2", Seq(Span("text", "only text", null, 0)))
+    ).toDF("doc_id", "spans")
+    val out = Multimodal.mediaCaptionPairs(docs)
+      .as[(String, String, Option[String])].collect().map(t => t._2 -> t._3).toMap
+    assert(out == Map("m1" -> Some("the caption"), "m2" -> Some("the caption"),
+      "m3" -> None))
+    assert(!out.contains("only text"))
+  }
+
   test("upsampleEpochs: integer part exact, fractional part ~Bernoulli, epoch indices 0-based") {
     import spark.implicits._
     val docs = (0L until 3000L).map(i =>
