@@ -532,11 +532,14 @@ object Dedup {
     candidates
       .join(vecs.withColumnRenamed("vec_id", "id_a").withColumnRenamed("embedding", "ea"), "id_a")
       .join(vecs.withColumnRenamed("vec_id", "id_b").withColumnRenamed("embedding", "eb"), "id_b")
-      // the isnan guard keeps the Scala-comparison semantics: SQL orders
+      // the nanvl guard keeps the Scala-comparison semantics: SQL orders
       // NaN ABOVE every number, so a corrupt (NaN-component) embedding
-      // would otherwise pass >= tau and confirm a bogus duplicate
+      // would otherwise pass >= tau and confirm a bogus duplicate. A
+      // single _sim reference matters: predicate pushdown inlines the
+      // alias into the filter, and a two-conjunct form would score every
+      // candidate twice (FilterExec has no subexpression elimination)
       .withColumn("_sim", graft.spark.VectorFunctions.cosineSim(col("ea"), col("eb")))
-      .filter(!isnan(col("_sim")) && col("_sim") >= tau)
+      .filter(nanvl(col("_sim"), lit(-2.0)) >= tau)
       .select(col("id_a"), col("id_b"), col("truncated"))
   }
 }

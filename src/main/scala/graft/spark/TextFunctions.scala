@@ -93,10 +93,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     ext.injectFunction((FunctionIdentifier("clean_text"),
       new ExpressionInfo(classOf[CleanTextExpr].getName, "clean_text"),
-      (exprs: Seq[Expression]) => CleanTextExpr(exprs.head)))
+      (exprs: Seq[Expression]) => TextFunctions.unary("clean_text", exprs)(CleanTextExpr)))
     ext.injectFunction((FunctionIdentifier("convert_entities"),
       new ExpressionInfo(classOf[ConvertEntitiesExpr].getName, "convert_entities"),
-      (exprs: Seq[Expression]) => ConvertEntitiesExpr(exprs.head)))
+      (exprs: Seq[Expression]) =>
+        TextFunctions.unary("convert_entities", exprs)(ConvertEntitiesExpr)))
     ext.injectFunction((FunctionIdentifier("graft_extract"),
       new ExpressionInfo(classOf[ExtractDocExpr].getName, "graft_extract"),
       (exprs: Seq[Expression]) => ExtractDocExpr(exprs)))

@@ -102,12 +102,17 @@ class OpsSpec extends AnyFunSuite {
 
   test("embeddingNearDup: NaN similarity is rejected, not confirmed (SQL NaN > tau quirk)") {
     import spark.implicits._
-    // two identical finite vectors (a true pair) + a NaN-corrupted copy:
-    // the corrupt vector lands in the same bucket but must never verify
+    // two identical finite vectors (a true pair) + TWO NaN-corrupted
+    // vectors: a NaN component makes every plane dot NaN, so both corrupt
+    // vectors signature to 0 in every table — they share a bucket with
+    // each other, their candidate pair reaches the verification filter
+    // with cosine = NaN, and without the nanvl guard SQL's "NaN > tau"
+    // would CONFIRM (3,4) as a near-duplicate
     val docs = Seq(
       (1L, Seq(1f, 2f, 3f, 4f)),
       (2L, Seq(1f, 2f, 3f, 4f)),
-      (3L, Seq(Float.NaN, 2f, 3f, 4f))
+      (3L, Seq(Float.NaN, 2f, 3f, 4f)),
+      (4L, Seq(Float.NaN, 5f, 6f, 7f))
     ).toDF("vec_id", "embedding")
     val pairs = Dedup.embeddingNearDup(docs, tau = 0.95)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -578,6 +583,7 @@ class OpsSpec extends AnyFunSuite {
     // AQE off so the join node is inspectable before execution; the
     // assertion walks the RIGHT (store) subtree specifically — a filter
     // that migrated to the batch side must fail this, not pass it.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val docsP = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -596,7 +602,7 @@ class OpsSpec extends AnyFunSuite {
       }
       assert(storeSide.nonEmpty,
         s"bloom prune filter not on the store side of:\n$exec")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
   test("mediaCaptionPairs: nearest following text; consecutive media share; trailing is null") {
@@ -608,11 +614,13 @@ class OpsSpec extends AnyFunSuite {
         Span("media", null, "m3", 4))),
       ("d2", Seq(Span("text", "only text", null, 0)))
     ).toDF("doc_id", "spans")
-    val out = Multimodal.mediaCaptionPairs(docs)
-      .as[(String, String, Option[String])].collect().map(t => t._2 -> t._3).toMap
+    val rows = Multimodal.mediaCaptionPairs(docs)
+      .as[(String, String, Option[String])].collect()
+    val out = rows.map(t => t._2 -> t._3).toMap
     assert(out == Map("m1" -> Some("the caption"), "m2" -> Some("the caption"),
       "m3" -> None))
-    assert(!out.contains("only text"))
+    // the media-free doc must contribute no rows at all
+    assert(!rows.exists(_._1 == "d2"))
   }
 
   test("upsampleEpochs: integer part exact, fractional part ~Bernoulli, epoch indices 0-based") {

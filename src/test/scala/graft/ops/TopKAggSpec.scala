@@ -17,7 +17,7 @@ class TopKAggSpec extends AnyFunSuite {
       parts: Seq[List[(Int, Int)]], rnd: scala.util.Random): Seq[(Int, Int)] = {
     val buffers = scala.collection.mutable.Buffer(
       parts.map(p => p.foldLeft(agg.zero)(agg.reduce)): _*)
-    if (buffers.isEmpty) agg.zero
+    if (buffers.isEmpty) agg.finish(agg.zero)
     else {
       while (buffers.length > 1) {
         val a = buffers.remove(rnd.nextInt(buffers.length))
