@@ -601,6 +601,51 @@ object SparkEntry {
       Multimodal.mediaCaptionPairs(extractFmt(s, dir, Seq(3, 4, 8, 9)))
         .select("doc_id", "media_ref", "caption")),
 
+    // interleaved-sequence rendering: one training string per doc, media
+    // spans as a sentinel token, span order preserved (map-only projection)
+    "q65_render_interleaved" -> ((s, dir) =>
+      Multimodal.renderInterleaved(extractFmt(s, dir, Seq(3, 4, 8, 9)))
+        .select("doc_id", "training_text", "n_media", "n_text_spans")),
+
+    // corpus-duplicated 5-gram occurrence + token-coverage counts over the
+    // near-dup universe (the substring-dedup measurement of Lee et al.)
+    "q66_dup_ngram_coverage" -> ((s, dir) =>
+      Dedup.duplicatedNgramCoverage(dedupUniverse(s, dir), n = 5)
+        .select("doc_id", "n_tokens", "n_dup_ngrams", "covered_tokens")),
+
+    // substring-dedup removal: rebuild text with corpus-duplicated-5-gram
+    // tokens removed (the action half of q66, over the same universe)
+    "q69_substring_dedup" -> ((s, dir) =>
+      Dedup.removeDuplicatedNgrams(dedupUniverse(s, dir), n = 5)
+        .select("doc_id", "text_deduped", "n_tokens", "n_removed")),
+
+    // OOV-vs-corpus-top-64-vocabulary counts (float-free perplexity proxy)
+    "q67_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(
+        s.read.parquet(s"$dir/documents.parquet"), vocabSize = 64)
+        .select("doc_id", "n_tokens", "n_oov")),
+
+    // overlapped fixed-token-window chunking (32-token windows, stride 24)
+    "q68_chunk_windows" -> ((s, dir) =>
+      Sampling.chunkDocs(
+        s.read.parquet(s"$dir/documents.parquet"), chunkSize = 32, stride = 24)
+        .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")),
+
+    // media referential integrity: span refs vs a payload table with
+    // planted orphans (b.gif payloads dropped) and unused rows (extra-
+    // prefixed pdf payloads added)
+    "q70_media_integrity" -> ((s, dir) => {
+      val ext = extractFmt(s, dir, Seq(3, 4, 8, 9))
+      val refs = ext.select(col("doc_id"), explode(col("spans")).as("sp"))
+        .filter(col("sp.kind") === "media")
+        .select(col("doc_id"), col("sp.media_ref").as("media_ref"))
+      val media = refs.filter(!col("media_ref").endsWith("b.gif"))
+        .unionAll(refs.filter(col("media_ref").startsWith("pimg"))
+          .select(col("doc_id"), concat(lit("extra-"), col("media_ref")).as("media_ref")))
+      Multimodal.mediaIntegrity(ext, media)
+        .select("doc_id", "media_ref", "n_span_refs", "status")
+    }),
+
     // as-of join: each click attributed to the user's latest view at or
     // before it (union + running last-non-null window; single shuffle)
     "q53_asof_join" -> ((s, dir) => {
@@ -1365,7 +1410,103 @@ object SparkEntry {
          )
          SELECT lid AS event_id, user_id, m_rid AS matched_event_id,
            ((us - m_us) // 1000000)::BIGINT AS gap_sec
-         FROM w WHERE side = 1"""
+         FROM w WHERE side = 1""",
+
+    // closed-form from the q08/q09 span layouts: xml spans render as
+    // text-sentinel-sentinel-text-text, pdf as text-sentinel[-text]
+    "q65_render_interleaved" ->
+      s"""WITH dx AS (SELECT * FROM documents WHERE doc_id % 10 IN (3, 4)),
+          dp AS (SELECT doc_id, w, (len(w) + 1) // 2 AS h
+                 FROM (SELECT doc_id, $WORDS AS w FROM documents WHERE doc_id % 10 IN (8, 9)) t)
+          SELECT $K AS doc_id,
+                 'I. INTRODUCTION ' || $C || ' Manual Entry 1 TABLE ' || $K || '. CAP ' || $K ||
+                 ' <|image|> <|image|> NOTES ' || $K || ' APPENDIX ' || $K || ' APP ' || $W0
+                   AS training_text,
+                 2 AS n_media, 3 AS n_text_spans
+          FROM dx
+          UNION ALL
+          SELECT $K,
+                 array_to_string(w[1:h], ' ') || ' <|image|>' ||
+                 CASE WHEN len(w) > h THEN ' ' || array_to_string(w[h+1:len(w)], ' ') ELSE '' END,
+                 1, CASE WHEN len(w) > h THEN 2 ELSE 1 END
+          FROM dp""",
+
+    // identical positioned-shingle derivation: 5-gram occurrences with a
+    // corpus count > 1, their distinct count and distinct covered positions
+    "q66_dup_ngram_coverage" ->
+      s"""WITH uni AS $dedupUniverseSql,
+          toks AS (SELECT doc_id, $WORDS AS w FROM uni),
+          idx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i FROM toks),
+          occ AS (SELECT doc_id, i - 1 AS i,
+                    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS sh
+                  FROM idx),
+          dup AS (SELECT sh FROM occ GROUP BY sh HAVING count(*) > 1),
+          pos AS (SELECT o.doc_id, o.i, unnest(generate_series(o.i, o.i + 4)) AS p
+                  FROM occ o JOIN dup USING (sh)),
+          st AS (SELECT doc_id, count(DISTINCT i) AS n_dup_ngrams,
+                        count(DISTINCT p) AS covered_tokens
+                 FROM pos GROUP BY 1)
+          SELECT doc_id, len(w) AS n_tokens,
+                 coalesce(st.n_dup_ngrams, 0) AS n_dup_ngrams,
+                 coalesce(st.covered_tokens, 0) AS covered_tokens
+          FROM toks LEFT JOIN st USING (doc_id)""",
+
+    // closed-form from the span layouts + the planted payload table:
+    // xml a.gif resolved / b.gif orphan; pdf png resolved / extra- unused
+    "q70_media_integrity" ->
+      s"""WITH dx AS (SELECT doc_id FROM documents WHERE doc_id % 10 IN (3, 4)),
+          dp AS (SELECT doc_id FROM documents WHERE doc_id % 10 IN (8, 9))
+          SELECT $K AS doc_id, 'fig' || $K || 'a.gif' AS media_ref,
+                 1::BIGINT AS n_span_refs, 'resolved' AS status FROM dx
+          UNION ALL SELECT $K, 'fig' || $K || 'b.gif', 1, 'orphan' FROM dx
+          UNION ALL SELECT $K, 'pimg' || $K || '.png', 1, 'resolved' FROM dp
+          UNION ALL SELECT $K, 'extra-pimg' || $K || '.png', 0, 'unused' FROM dp""",
+
+    // identical removal derivation: covered positions from duplicated
+    // 5-grams, kept tokens re-joined in position order
+    "q69_substring_dedup" ->
+      s"""WITH uni AS $dedupUniverseSql,
+          toks AS (SELECT doc_id, $WORDS AS w FROM uni),
+          idx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i FROM toks),
+          occ AS (SELECT doc_id, i - 1 AS i,
+                    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS sh
+                  FROM idx),
+          dup AS (SELECT sh FROM occ GROUP BY sh HAVING count(*) > 1),
+          cov AS (SELECT DISTINCT o.doc_id, unnest(generate_series(o.i, o.i + 4)) AS p
+                  FROM occ o JOIN dup USING (sh)),
+          tok AS (SELECT doc_id, p - 1 AS p, w[p] AS tok
+                  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM toks)),
+          kept AS (SELECT t.doc_id, t.p, t.tok FROM tok t
+                   WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.p = t.p)),
+          agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_deduped,
+                         count(*) AS n_kept
+                  FROM kept GROUP BY 1)
+          SELECT t.doc_id, coalesce(a.text_deduped, '') AS text_deduped,
+                 len(w) AS n_tokens, len(w) - coalesce(a.n_kept, 0) AS n_removed
+          FROM toks t LEFT JOIN agg a USING (doc_id)""",
+
+    // vocabulary = corpus top-64 terms by document frequency (df desc, term
+    // asc); per-doc OOV token-occurrence counts
+    "q67_vocab_coverage" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($WORDS) AS term FROM documents),
+          dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+          vocab AS (SELECT term FROM dfreq ORDER BY df DESC, term LIMIT 64),
+          oov AS (SELECT doc_id, count(*) AS n_oov FROM toks
+                  WHERE term NOT IN (SELECT term FROM vocab) GROUP BY 1)
+          SELECT d.doc_id, len($WORDS) AS n_tokens, coalesce(o.n_oov, 0) AS n_oov
+          FROM documents d LEFT JOIN oov o USING (doc_id)""",
+
+    // identical window derivation: starts every 24 tokens, 32-token windows,
+    // last window starts at the first stride multiple that fits the tail
+    "q68_chunk_windows" ->
+      s"""WITH toks AS (SELECT doc_id, $WORDS AS w FROM documents),
+          k AS (SELECT doc_id, w, (greatest(len(w) - 32, 0) + 23) // 24 + 1 AS k
+                FROM toks WHERE len(w) > 0),
+          c AS (SELECT doc_id, w, unnest(generate_series(0, k - 1)) AS chunk_id FROM k)
+          SELECT doc_id, chunk_id,
+                 array_to_string(w[chunk_id*24 + 1 : chunk_id*24 + 32], ' ') AS chunk_text,
+                 least(32, len(w) - chunk_id*24) AS n_chunk_tokens
+          FROM c"""
   )
 
   /** lang-id oracle: argmax over the same stopword gazetteers, declaration-

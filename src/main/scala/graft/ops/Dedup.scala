@@ -399,6 +399,108 @@ object Dedup {
         coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"))
   }
 
+  /** Corpus-duplicated n-gram coverage — the measurement half of
+    * substring-level dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): for every document, how many of its
+    * word n-gram occurrences also occur ELSEWHERE in the corpus (or again
+    * in the same document), and how many of its token positions are covered
+    * by at least one such duplicated n-gram. A doc with high
+    * `covered_tokens / n_tokens` is mostly made of text the corpus already
+    * contains — the filter signal substring dedup acts on. All counts are
+    * integers, so a cross-engine oracle hash-compares exactly.
+    *
+    * Scale shape: one positioned-shingle explode (cardinality O(corpus
+    * tokens)); duplicate detection is an aggregation on the shingle hash
+    * (map-side combine — a shingle repeated a billion times costs each map
+    * task one buffer row); the membership join is a sort-merge on the same
+    * shingle key (hot shingles are AQE-splittable); coverage expands each
+    * surviving occurrence to its n positions (bounded x n) and both
+    * per-doc distinct counts ride ONE groupBy(doc_id) — Spark plans the
+    * two count-distincts as a single expand + two-phase aggregate, never a
+    * per-doc window or buffer beyond the doc's own length. Every input doc
+    * comes back (zero-duplication docs with zeros), so the output is
+    * directly joinable as a per-doc feature.
+    *
+    * Output: (doc_id, n_tokens, n_dup_ngrams, covered_tokens).
+    */
+  def duplicatedNgramCoverage(docs: DataFrame, n: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val occ = docs
+      .select(col(idCol).as("doc_id"), ws.as("w"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), greatest(size(col("w")) - n, lit(-1))),
+          i => concat_ws(" ", (0 until n).map(j => col("w")(i + j)): _*)))
+        .as(Seq("i", "sh")))
+    val dup = occ.groupBy("sh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("sh")
+    val stats = occ.join(dup, "sh")
+      .select(col("doc_id"), col("i"),
+        explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+      .groupBy("doc_id")
+      .agg(countDistinct("i").as("n_dup_ngrams"),
+        countDistinct("p").as("covered_tokens"))
+    docs.select(col(idCol).as("doc_id"), size(ws).as("n_tokens"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_ngrams"), lit(0L)).as("n_dup_ngrams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+  }
+
+  /** Substring-dedup REMOVAL — the action half of
+    * [[duplicatedNgramCoverage]] (Lee et al. 2022's ExactSubstr dedup,
+    * approximated at word n-gram granularity): rebuild every document's
+    * text with the tokens covered by corpus-duplicated n-grams REMOVED, so
+    * a training corpus keeps each long repeated passage zero times rather
+    * than once-per-copy. Deterministic function of the corpus; docs whose
+    * text is entirely duplicated come back with empty text (a downstream
+    * length filter drops them), untouched docs come back verbatim modulo
+    * whitespace normalization.
+    *
+    * Scale shape: the duplicate-shingle derivation is shared with the
+    * coverage measurement (one positioned-shingle explode, one map-side-
+    * combined aggregation, one sort-merge membership join). Covered
+    * positions feed the token stream through a LEFT ANTI join on
+    * (doc_id, position) — anti-join semantics make the right side's
+    * duplicate rows harmless, so no distinct pass is needed. The rebuild
+    * is one groupBy(doc_id) whose `collect_list(struct(p, tok))` buffer is
+    * bounded by the DOCUMENT's own length (the same bound as the text
+    * column itself — this is per-doc state, not per-bucket state, and a
+    * document that fits in a row fits in the buffer). No windows, no
+    * driver state.
+    *
+    * Output: (doc_id, text_deduped, n_tokens, n_removed) — every input
+    * doc exactly once.
+    */
+  def removeDuplicatedNgrams(docs: DataFrame, n: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val toks = docs.select(col(idCol).as("doc_id"), ws.as("w"))
+    val occ = toks
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), greatest(size(col("w")) - n, lit(-1))),
+          i => concat_ws(" ", (0 until n).map(j => col("w")(i + j)): _*)))
+        .as(Seq("i", "sh")))
+    val dup = occ.groupBy("sh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("sh")
+    val covered = occ.join(dup, "sh")
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+    val tokens = toks.select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tok")))
+    val kept = tokens.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x("tok"))).as("text_deduped"),
+        count(lit(1)).as("n_kept"))
+    toks.select(col("doc_id"), size(col("w")).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Duplicate-cluster resolution policy: turn [[duplicateClusters]]
     * output into a per-document keep/drop decision. Within each cluster
     * exactly one document survives — the one with the highest `scoreCol`

@@ -96,6 +96,66 @@ object Multimodal {
       .map { case (d, r) => MediaIn(d, r, synthBytes(r)) }
   }
 
+  /** Render the interleaved span model into ONE training sequence per
+    * document — the serialization step of multimodal pre-training corpora
+    * (interleaved image-text datasets train on exactly this shape: document
+    * text in order with a sentinel token at each image position, the image
+    * itself riding in a parallel table keyed by (doc_id, media_ref) —
+    * [[mediaTable]]). Text spans contribute their text verbatim, media
+    * spans contribute `sentinel`, order is the span order, joined by a
+    * single space. Also emits `n_media` / `n_text_spans` so a packing or
+    * filtering stage downstream can budget sequences without re-parsing.
+    *
+    * Scale shape: pure column expressions over the spans array (transform +
+    * concat_ws + size/filter) — a map-only codegen'd projection, no
+    * explode, no shuffle, no per-row state; cost is O(spans) per document
+    * regardless of corpus size.
+    */
+  def renderInterleaved(extracted: DataFrame, sentinel: String = "<|image|>"): DataFrame = {
+    val spans = col("spans")
+    extracted.select(
+      col("doc_id"),
+      concat_ws(" ", transform(spans,
+        s => when(s("kind") === "media", lit(sentinel)).otherwise(s("text"))))
+        .as("training_text"),
+      size(filter(spans, s => s("kind") === "media")).as("n_media"),
+      size(filter(spans, s => s("kind") === "text")).as("n_text_spans"))
+  }
+
+  /** Referential-integrity audit between the interleaved span model and the
+    * media payload table — the consistency check a multimodal corpus needs
+    * before training: every `media` span's ref must resolve to a payload
+    * row (else the sentinel in the rendered sequence points at nothing),
+    * and payload rows never referenced are dead weight to vacuum. Statuses:
+    * `resolved` (span ref with a payload), `orphan` (span ref with NO
+    * payload row), `unused` (payload row no span references).
+    *
+    * Scale shape: one explode of the spans array + one groupBy per side
+    * (map-side combined — a doc referencing the same image a thousand
+    * times costs one buffer row per map task), then ONE full-outer
+    * sort-merge join on (doc_id, media_ref). No windows, no driver state;
+    * both sides arrive pre-aggregated so join rows are unique per key.
+    *
+    * Output: (doc_id, media_ref, n_span_refs, status) — one row per
+    * distinct (doc, ref) seen on either side.
+    */
+  def mediaIntegrity(extracted: DataFrame, media: DataFrame): DataFrame = {
+    val refs = extracted
+      .select(col("doc_id"), explode(col("spans")).as("sp"))
+      .filter(col("sp.kind") === "media")
+      .groupBy(col("doc_id"), col("sp.media_ref").as("media_ref"))
+      .agg(count(lit(1)).as("n_span_refs"))
+    val payloads = media
+      .groupBy(col("doc_id"), col("media_ref"))
+      .agg(count(lit(1)).as("n_media_rows"))
+    refs.join(payloads, Seq("doc_id", "media_ref"), "full_outer")
+      .select(col("doc_id"), col("media_ref"),
+        coalesce(col("n_span_refs"), lit(0L)).as("n_span_refs"),
+        when(col("n_span_refs").isNull, "unused")
+          .when(col("n_media_rows").isNull, "orphan")
+          .otherwise("resolved").as("status"))
+  }
+
   /** Image-caption pair extraction from the interleaved span model — the
     * standard multimodal-training-data derivation: every `media` span is
     * paired with its NEAREST FOLLOWING `text` span in document order

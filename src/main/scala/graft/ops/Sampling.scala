@@ -247,4 +247,44 @@ object Sampling {
         }
       }(Encoders.row(outSchema))
   }
+
+  /** Fixed-token-window chunking with overlap — the training-example
+    * derivation step: each document's word stream is cut into windows of
+    * `chunkSize` tokens starting every `stride` tokens (stride < chunkSize
+    * gives the usual overlapping context windows), producing one training
+    * example per window. Window starts are 0, stride, 2*stride, ...; the
+    * last window begins at the smallest multiple of `stride` from which the
+    * remaining words fit in one window (so every token lands in at least
+    * one chunk and no fully-empty chunk is emitted). Empty docs emit
+    * nothing. Deterministic function of the text — re-runs and corpus
+    * extensions reproduce identical chunks.
+    *
+    * Scale shape: pure column expressions — one codegen'd projection
+    * builds the per-doc chunk array (transform over a sequence of starts,
+    * slice + concat_ws per chunk), one posexplode emits the rows. No
+    * shuffle, no window function, no driver state; per-doc cost is
+    * O(len * chunks-per-token-overlap), and output cardinality is
+    * corpus_tokens / stride — the expected blow-up of overlapped chunking,
+    * produced streaming-fashion, never buffered per task.
+    *
+    * Output: (doc_id, chunk_id, chunk_text, n_chunk_tokens).
+    */
+  def chunkDocs(df: DataFrame, chunkSize: Int = 64, stride: Int = 48,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val nw = size(col("w"))
+    // number of windows: 1 + ceil(max(nw - chunkSize, 0) / stride)
+    val k = (floor((greatest(nw - chunkSize, lit(0)) + lit(stride - 1))
+      / lit(stride)) + 1).cast("int")
+    df.select(col(idCol).as("doc_id"), ws.as("w"))
+      .filter(nw > 0)
+      .select(col("doc_id"), col("w"),
+        posexplode(transform(sequence(lit(0), k - 1),
+          i => concat_ws(" ", slice(col("w"), i * stride + 1, lit(chunkSize)))))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        least(lit(chunkSize), nw - col("chunk_id") * stride).as("n_chunk_tokens"))
+  }
 }

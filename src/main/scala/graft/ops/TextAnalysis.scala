@@ -233,6 +233,42 @@ object TextAnalysis {
           .otherwise("ok"))
   }
 
+  /** Vocabulary coverage — the out-of-vocabulary quality signal of
+    * CCNet-style curation restated float-free: the corpus's own top
+    * `vocabSize` terms by document frequency (ties broken by term, so the
+    * vocabulary SET is deterministic) stand in for a tokenizer vocabulary,
+    * and each document is scored by how many of its token occurrences fall
+    * outside it. A high `n_oov / n_tokens` doc is vocabulary-atypical —
+    * gibberish, another language, or boilerplate IDs — exactly what an LM
+    * perplexity filter flags, but with integer counts a cross-engine
+    * oracle can hash-compare (a real log-prob sum ties on libm ULPs).
+    *
+    * Scale shape: document frequency is one explode of per-doc DISTINCT
+    * terms + one aggregation (map-side combine); the vocabulary is a
+    * TakeOrdered of `vocabSize` rows — only the vocabulary reaches the
+    * driver, never the term table; OOV counting is a BROADCAST anti-join
+    * (the vocab is driver-bounded by construction) over one more token
+    * explode, then a per-doc count with partial aggregation. Two scans of
+    * the text column, no sort-merge join, no window.
+    *
+    * Output: every input doc as (doc_id, n_tokens, n_oov).
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 64,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val ws = words(col(textCol))
+    val vocab = docs
+      .select(explode(array_distinct(ws)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(vocabSize)
+      .select("term")
+    val oov = docs.select(col(idCol).as("doc_id"), explode(ws).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+    docs.select(col(idCol).as("doc_id"), size(ws).as("n_tokens"))
+      .join(oov, Seq("doc_id"), "left")
+      .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
+  }
+
   /** Characteristic terms per document — a FLOAT-FREE tf-idf: each
     * document's terms ranked by (term frequency DESC, corpus document
     * frequency ASC, term ASC), top `k` kept. The lexicographic integer

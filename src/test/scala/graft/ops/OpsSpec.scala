@@ -784,4 +784,128 @@ class OpsSpec extends AnyFunSuite {
     val plan = TextAnalysis.distinctiveTerms(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"window in distinctiveTerms plan:\n$plan")
   }
+
+  test("renderInterleaved: sentinel at media positions, order kept, map-only plan") {
+    import spark.implicits._
+    val docs = Seq(
+      ("D1", Seq(
+        graft.core.Span("text", "intro words", null, 0),
+        graft.core.Span("media", null, "fig1.gif", 1),
+        graft.core.Span("text", "caption after", null, 2))),
+      ("D2", Seq(graft.core.Span("media", null, "only.png", 0))),
+      ("D3", Seq.empty[graft.core.Span])
+    ).toDF("doc_id", "spans")
+    val out = Multimodal.renderInterleaved(docs)
+      .as[(String, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out("D1") == (("D1", "intro words <|image|> caption after", 1, 2)))
+    assert(out("D2") == (("D2", "<|image|>", 1, 0)))
+    assert(out("D3") == (("D3", "", 0, 0)))
+    // serialization is a projection: no shuffle, no explode-regroup
+    val plan = Multimodal.renderInterleaved(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in renderInterleaved plan:\n$plan")
+  }
+
+  test("duplicatedNgramCoverage: planted overlap coverage exact, clean docs zero") {
+    import spark.implicits._
+    // doc 1 and doc 2 share words 0..9 (six shared 5-grams); doc 3 disjoint
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " " + (0 until 5).map(i => s"a$i").mkString(" ")),
+      (2L, shared + " " + (0 until 5).map(i => s"b$i").mkString(" ")),
+      (3L, (0 until 15).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedNgramCoverage(docs, n = 5)
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // duplicated 5-grams are those fully inside s0..s9: starts 0..5 -> 6
+    // occurrences per doc, covering positions 0..9 -> 10 tokens
+    assert(out(1L) == ((1L, 15, 6L, 10L)))
+    assert(out(2L) == ((2L, 15, 6L, 10L)))
+    assert(out(3L) == ((3L, 15, 0L, 0L)))
+  }
+
+  test("mediaIntegrity: resolved/orphan/unused statuses; repeated refs aggregated") {
+    import spark.implicits._
+    val docs = Seq(
+      ("D1", Seq(
+        graft.core.Span("text", "t", null, 0),
+        graft.core.Span("media", null, "a.png", 1),
+        graft.core.Span("media", null, "a.png", 2),   // same ref twice
+        graft.core.Span("media", null, "gone.png", 3))),
+      ("D2", Seq(graft.core.Span("text", "only text", null, 0)))
+    ).toDF("doc_id", "spans")
+    val media = Seq(
+      ("D1", "a.png"), ("D1", "never-referenced.png"), ("D2", "dead.png")
+    ).toDF("doc_id", "media_ref")
+    val out = Multimodal.mediaIntegrity(docs, media)
+      .as[(String, String, Long, String)].collect().toSet
+    assert(out == Set(
+      ("D1", "a.png", 2L, "resolved"),
+      ("D1", "gone.png", 1L, "orphan"),
+      ("D1", "never-referenced.png", 0L, "unused"),
+      ("D2", "dead.png", 0L, "unused")))
+  }
+
+  test("removeDuplicatedNgrams: shared run removed from both docs, clean doc verbatim") {
+    import spark.implicits._
+    // doc 1 and 2 share words s0..s9 -> positions 0..9 covered in both;
+    // doc 3 has no duplicated 5-gram and must come back verbatim
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " " + (0 until 5).map(i => s"a$i").mkString(" ")),
+      (2L, shared + " " + (0 until 5).map(i => s"b$i").mkString(" ")),
+      (3L, (0 until 15).map(i => s"c$i").mkString(" ")),
+      (4L, shared) // fully duplicated -> empty text survives as a row
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedNgrams(docs, n = 5)
+      .as[(Long, String, Int, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, (0 until 5).map(i => s"a$i").mkString(" "), 15, 10L)))
+    assert(out(2L) == ((2L, (0 until 5).map(i => s"b$i").mkString(" "), 15, 10L)))
+    assert(out(3L) == ((3L, (0 until 15).map(i => s"c$i").mkString(" "), 15, 0L)))
+    assert(out(4L) == ((4L, "", 10, 10L)))
+  }
+
+  test("vocabCoverage: top-df vocab with term tie-break; per-doc OOV occurrence counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the cat"),   // "the" df=2, "cat" df=2, "dog" df=1, "owl" df=1
+      (2L, "the cat dog owl owl")
+    ).toDF("doc_id", "text")
+    // vocabSize=2 -> vocab {cat, the} (df 2 each; tie-break by term keeps
+    // both here; "dog"/"owl" df=1 are out)
+    val out = TextAnalysis.vocabCoverage(docs, vocabSize = 2)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3, 0L)))
+    assert(out(2L) == ((2L, 5, 3L))) // dog, owl, owl are OOV occurrences
+    // vocabSize=3 must pick dog over owl by the term tie-break at df=1
+    val out3 = TextAnalysis.vocabCoverage(docs, vocabSize = 3)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out3(2L) == ((2L, 5, 2L))) // only the two owl occurrences remain OOV
+    // the OOV check is a broadcast anti-join (vocab is driver-bounded), and
+    // the vocabulary selection is a TakeOrdered, never a global sort
+    val plan = TextAnalysis.vocabCoverage(docs, 2).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"OOV join is not a broadcast anti-join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab selection is not TakeOrdered:\n$plan")
+  }
+
+  test("chunkDocs: window starts/contents exact; short doc one chunk; no shuffle") {
+    import spark.implicits._
+    val w = (0 until 10).map(i => s"w$i")
+    val docs = Seq(
+      (1L, w.mkString(" ")),  // size 4 stride 3 -> starts 0,3,6 (ceil(6/3)=2 +1)
+      (2L, "a b"),            // shorter than one window -> exactly one chunk
+      (3L, "")                // empty -> no rows
+    ).toDF("doc_id", "text")
+    val out = Sampling.chunkDocs(docs, chunkSize = 4, stride = 3)
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(out == Set(
+      (1L, 0, "w0 w1 w2 w3", 4),
+      (1L, 1, "w3 w4 w5 w6", 4),
+      (1L, 2, "w6 w7 w8 w9", 4),
+      (2L, 0, "a b", 2)))
+    // every token is in at least one chunk; last start covers the tail
+    val plan = Sampling.chunkDocs(docs, 4, 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in chunkDocs plan:\n$plan")
+  }
 }
