@@ -631,6 +631,32 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), chunkSize = 32, stride = 24)
         .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")),
 
+    // JSON props extraction with a malformed side-channel: every tenth
+    // event's payload corrupted to exercise the error path
+    "q73_parse_props" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("props",
+          when(col("event_id") % 10 === 0, lit("garbage")).otherwise(col("props")))
+      graft.ops.Events.parseProps(ev, field = "k")
+        .select(col("event_id"), col("event_type"), col("k"),
+          col("props_ok").cast("int").as("props_ok"))
+    }),
+
+    // exact nearest-rank corpus length percentiles (profiling pass)
+    "q72_length_percentiles" -> ((s, dir) =>
+      TextAnalysis.lengthPercentiles(
+        s.read.parquet(s"$dir/documents.parquet"),
+        percentiles = Seq(25, 50, 75, 90, 99))
+        .select("percentile", "n_tokens")),
+
+    // GPT-style token-block packing: 64-token blocks over the md5-shuffled
+    // global token stream, docs split at block boundaries
+    "q71_pack_token_blocks" -> ((s, dir) =>
+      Sampling.packTokenBlocks(
+        s.read.parquet(s"$dir/documents.parquet"), blockSize = 64)
+        .select("doc_id", "block_id", "start_in_block", "doc_offset",
+          "n_tokens_in_block")),
+
     // media referential integrity: span refs vs a payload table with
     // planted orphans (b.gif payloads dropped) and unused rows (extra-
     // prefixed pdf payloads added)
@@ -1450,6 +1476,51 @@ object SparkEntry {
                  coalesce(st.n_dup_ngrams, 0) AS n_dup_ngrams,
                  coalesce(st.covered_tokens, 0) AS covered_tokens
           FROM toks LEFT JOIN st USING (doc_id)""",
+
+    // identical extraction: json field '$.k' as BIGINT, null on corrupt
+    // JSON or non-integer field
+    "q73_parse_props" ->
+      """WITH e AS (SELECT event_id, event_type,
+                      CASE WHEN event_id % 10 = 0 THEN 'garbage' ELSE props END AS props
+                    FROM events),
+          p AS (SELECT event_id, event_type,
+                  CASE WHEN json_valid(props)
+                       THEN try_cast(json_extract_string(props, '$.k') AS BIGINT) END AS k
+                FROM e)
+          SELECT event_id, event_type, k,
+                 CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END AS props_ok
+          FROM p""",
+
+    // identical nearest-rank derivation over the length histogram
+    "q72_length_percentiles" ->
+      s"""WITH h AS (SELECT len($WORDS) AS n_tokens, count(*) AS cnt
+                     FROM documents GROUP BY 1),
+          c AS (SELECT n_tokens,
+                  sum(cnt) OVER (ORDER BY n_tokens) AS cum,
+                  sum(cnt) OVER () AS total FROM h),
+          p AS (SELECT unnest([25, 50, 75, 90, 99]) AS percentile)
+          SELECT p.percentile, min(c.n_tokens) AS n_tokens
+          FROM p JOIN c ON c.cum * 100 >= c.total * p.percentile
+          GROUP BY 1""",
+
+    // identical layout derivation: exclusive prefix sum over the md5
+    // order, block pieces via generate_series; integers throughout
+    "q71_pack_token_blocks" ->
+      s"""WITH toks AS (SELECT doc_id, len($WORDS) AS n FROM documents
+                        WHERE len($WORDS) > 0),
+          o AS (SELECT doc_id, n,
+                  coalesce(sum(n) OVER (ORDER BY md5(doc_id::VARCHAR), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+                FROM toks),
+          b AS (SELECT doc_id, n, off,
+                  unnest(generate_series(off // 64, (off + n - 1) // 64)) AS block_id
+                FROM o)
+          SELECT doc_id, block_id,
+                 greatest(off, block_id * 64) - block_id * 64 AS start_in_block,
+                 greatest(off, block_id * 64) - off AS doc_offset,
+                 least(off + n, (block_id + 1) * 64)
+                   - greatest(off, block_id * 64) AS n_tokens_in_block
+          FROM b""",
 
     // closed-form from the span layouts + the planted payload table:
     // xml a.gif resolved / b.gif orphan; pdf png resolved / extra- unused

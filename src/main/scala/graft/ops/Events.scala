@@ -26,8 +26,13 @@ object Events {
   def sessionize(events: DataFrame, gap: String = "30 minutes",
       userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
     // parquet event logs are commonly TIMESTAMP_NTZ; with the session in
-    // UTC the cast is a pure reinterpretation (no wall-clock shift)
-    val ts = col(tsCol).cast("timestamp")
+    // UTC the cast is a pure reinterpretation (no wall-clock shift). An
+    // already-TIMESTAMP column is used AS-IS: a cast would produce a new
+    // attribute and sever the watermark tag, breaking the streaming form.
+    val ts = events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => col(tsCol)
+      case _ => col(tsCol).cast("timestamp")
+    }
     events
       .groupBy(col(userCol), session_window(ts, gap).as("sw"))
       .agg(
@@ -81,5 +86,30 @@ object Events {
       .select(col("_lid").as(idCol), col(keyCol),
         col("_m_rid").as("matched_event_id"),
         ((col("_us") - col("_m_us")) / lit(1000000L)).cast("long").as("gap_sec"))
+  }
+
+  /** Semi-structured payload extraction — event logs carry a free-form
+    * JSON `props` column, and every downstream aggregation starts by
+    * pulling typed fields out of it. This extracts one integer field with
+    * an explicit MALFORMED side-channel (corrupt JSON or a missing/
+    * non-integer field yields a null value and `props_ok = false` — never
+    * a task failure, mirroring the pipeline's errors-as-rows rule).
+    *
+    * `get_json_object` is a codegen'd Catalyst expression evaluating a
+    * JsonPath directly over the string — no schema inference pass, no UDF,
+    * null (not an exception) on malformed input. Adding columns instead of
+    * exploding keeps this a map-only projection: zero shuffle, fully
+    * inside WholeStageCodegen, pushdown-transparent for the columns it
+    * does not touch.
+    */
+  def parseProps(events: DataFrame, field: String = "k",
+      propsCol: String = "props"): DataFrame = {
+    val raw = get_json_object(col(propsCol), s"$$.$field")
+    // try_cast, not cast: under ANSI mode a non-numeric field value must
+    // degrade to the malformed channel, not kill the job
+    val v = raw.try_cast("long")
+    events
+      .withColumn(field, v)
+      .withColumn("props_ok", v.isNotNull)
   }
 }

@@ -248,6 +248,79 @@ object Sampling {
       }(Encoders.row(outSchema))
   }
 
+  /** GPT-style fixed-size token-block packing WITH document splitting —
+    * the other standard pre-training batching scheme (vs [[packShards]]'s
+    * whole-document greedy sharding): the corpus's token stream is laid
+    * out in a deterministic shuffled order (md5 of the id, the
+    * [[shuffleOrder]] key) and cut into exact `blockSize`-token blocks;
+    * a document straddling a boundary is SPLIT, contributing a piece to
+    * each block it overlaps. The output is the assignment map — one row
+    * per (document, block) piece with the piece's position inside the
+    * block and inside the document — integers only, so a cross-engine
+    * oracle hash-compares exactly; materializing block text is a join of
+    * this map against the token stream.
+    *
+    * Scale shape: the global token offset is the same distributed
+    * exclusive prefix sum as [[packShards]] (range partition on the hash
+    * key + eager localCheckpoint pinning the sampled range bounds + one
+    * partition-count-sized driver fold + a seeded per-partition running
+    * sum — never a global one-task window). The piece expansion is then a
+    * pure codegen'd projection + explode: a document of n tokens emits at
+    * most n/blockSize + 1 rows. No global sort, no driver state beyond
+    * one row per partition.
+    *
+    * Output: (doc_id, block_id, start_in_block, doc_offset,
+    * n_tokens_in_block); empty docs emit nothing.
+    */
+  def packTokenBlocks(df: DataFrame, blockSize: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(blockSize > 0, "blockSize must be positive")
+    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val base = df
+      .select(col(idCol), md5(col(idCol).cast("string")).as("_h"),
+        size(ws).cast("long").as("_n"))
+      .filter(col("_n") > 0)
+      .repartitionByRange(col("_h"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val sums = base.groupBy("_pid").agg(sum("_n").as("_s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      sums.map { case (pid, s) => val o = (pid, acc); acc += s; o }.toMap
+    }
+    val offSchema = StructType(Seq(
+      base.schema(idCol),
+      StructField("_n", LongType, nullable = false),
+      StructField("_off", LongType, nullable = false)))
+    val withOff = base.sortWithinPartitions("_h", idCol)
+      .mapPartitions { it =>
+        var acc = 0L
+        var seeded = false
+        it.map { row =>
+          if (!seeded) { acc = offsets(row.getInt(3)); seeded = true }
+          val n = row.getLong(2)
+          val r = Row(row.get(0), n, acc)
+          acc += n
+          r
+        }
+      }(Encoders.row(offSchema))
+    // integer `div` keeps the block arithmetic exact on longs (float
+    // division would round at 2^53 — real at trillion-token scale)
+    val b = lit(blockSize.toLong)
+    withOff
+      .select(col(idCol).as("doc_id"), col("_n"), col("_off"),
+        explode(sequence(expr(s"_off div ${blockSize}L"),
+          expr(s"(_off + _n - 1) div ${blockSize}L"))).as("block_id"))
+      .select(col("doc_id"), col("block_id"),
+        (greatest(col("_off"), col("block_id") * b) - col("block_id") * b)
+          .as("start_in_block"),
+        (greatest(col("_off"), col("block_id") * b) - col("_off"))
+          .as("doc_offset"),
+        (least(col("_off") + col("_n"), (col("block_id") + 1) * b)
+          - greatest(col("_off"), col("block_id") * b)).as("n_tokens_in_block"))
+  }
+
   /** Fixed-token-window chunking with overlap — the training-example
     * derivation step: each document's word stream is cut into windows of
     * `chunkSize` tokens starting every `stride` tokens (stride < chunkSize

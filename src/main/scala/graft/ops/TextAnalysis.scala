@@ -269,6 +269,49 @@ object TextAnalysis {
       .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
   }
 
+  /** EXACT corpus length percentiles (nearest-rank definition) — the
+    * profiling pass that sizes every downstream length filter and packing
+    * budget. `percentile_approx` answers this with a sketch whose output
+    * depends on merge order; at curation time the cutoffs feed
+    * deterministic filters, so they must be reproducible. This computes
+    * them exactly: percentile p is the smallest length whose cumulative
+    * doc count reaches `ceil(p% of N)` (stated integer-exact as
+    * `cum * 100 >= total * p`).
+    *
+    * Scale shape: the only corpus-sized work is ONE map-side-combined
+    * groupBy on the token count (output cardinality = distinct lengths,
+    * bounded by the longest document, not the corpus). The cumulative and
+    * total windows then run over that HISTOGRAM — a single task over at
+    * most max-doc-length tiny rows, which is the correct place to give up
+    * parallelism (the alternative, a global sort of the corpus, is the
+    * thing this avoids). Percentile extraction is a literal-array explode
+    * + min aggregation in the same plan.
+    *
+    * Output: (percentile, n_tokens), one row per requested percentile.
+    */
+  def lengthPercentiles(docs: DataFrame, percentiles: Seq[Int] = Seq(50, 90, 99),
+      textCol: String = "text"): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in [1, 100]")
+    val ws = words(col(textCol))
+    val hist = docs.select(size(ws).as("n_tokens"))
+      .groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("n_tokens")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    hist
+      .select(col("n_tokens"), sum("cnt").over(w).as("cum"),
+        sum("cnt").over(all).as("total"))
+      .select(col("n_tokens"), col("cum"), col("total"),
+        explode(lit(percentiles.toArray)).as("percentile"))
+      .filter(col("cum") * 100 >= col("total") * col("percentile"))
+      .groupBy("percentile").agg(min("n_tokens").as("n_tokens"))
+  }
+
   /** Characteristic terms per document — a FLOAT-FREE tf-idf: each
     * document's terms ranked by (term frequency DESC, corpus document
     * frequency ASC, term ASC), top `k` kept. The lexicographic integer

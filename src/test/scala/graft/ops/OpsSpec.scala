@@ -823,6 +823,101 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 15, 0L, 0L)))
   }
 
+  test("parseProps: typed field out, malformed/missing/non-integer degrade to null") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, """{"k": 42}"""),      // clean
+      (2L, """{"k": "7"}"""),     // JSON string holding an int -> extract + cast ok
+      (3L, """{"k": "abc"}"""),   // non-numeric -> null, not an ANSI cast error
+      (4L, """{"other": 1}"""),   // field missing
+      (5L, "not json at all"),    // corrupt
+      (6L, null.asInstanceOf[String])
+    ).toDF("event_id", "props")
+    val out = Events.parseProps(ev, field = "k")
+      .select("event_id", "k", "props_ok")
+      .as[(Long, Option[Long], Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, Some(42L), true)))
+    assert(out(2L) == ((2L, Some(7L), true)))
+    assert(out(3L) == ((3L, None, false)))
+    assert(out(4L) == ((4L, None, false)))
+    assert(out(5L) == ((5L, None, false)))
+    assert(out(6L) == ((6L, None, false)))
+    // map-only projection: no shuffle in the plan
+    val plan = Events.parseProps(ev).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in parseProps plan:\n$plan")
+  }
+
+  test("coverage/removal invariant: n_removed == covered_tokens on a collision-rich corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 12).map(i => s"v$i")
+    val docs = (1 to 30).map(i =>
+      (i.toLong, (0 until 20).map(_ => vocab(rnd.nextInt(12))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val cov = Dedup.duplicatedNgramCoverage(docs, n = 5)
+      .select(col("doc_id"), col("covered_tokens"))
+    val rem = Dedup.removeDuplicatedNgrams(docs, n = 5)
+      .select(col("doc_id"), col("n_removed"), col("text_deduped"), col("n_tokens"))
+    val joined = cov.join(rem, "doc_id")
+      .as[(Long, Long, Long, String, Int)].collect()
+    assert(joined.length == 30)
+    joined.foreach { case (id, covered, removed, deduped, n) =>
+      assert(covered == removed, s"doc $id: covered=$covered removed=$removed")
+      val kept = deduped.split("\\s+").count(_.nonEmpty)
+      assert(kept == n - removed, s"doc $id: kept=$kept n=$n removed=$removed")
+    }
+    // the seed-42 12-word vocab makes 5-gram collisions near-certain; make
+    // sure the corpus actually exercised the removal path
+    assert(joined.map(_._3).sum > 0, "corpus produced no duplicated 5-grams")
+  }
+
+  test("lengthPercentiles: nearest-rank exact on a known distribution") {
+    import spark.implicits._
+    // lengths 1..10, one doc each: p50 -> 5, p90 -> 9, p99 -> 10, p100 -> 10
+    val docs = (1 to 10).map(n => (n.toLong, (1 to n).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lengthPercentiles(docs, Seq(10, 50, 90, 99, 100))
+      .as[(Int, Int)].collect().toMap
+    assert(out == Map(10 -> 1, 50 -> 5, 90 -> 9, 99 -> 10, 100 -> 10))
+  }
+
+  test("packTokenBlocks: exact split pieces in md5 order; stream fully covered") {
+    import spark.implicits._
+    // md5('1') < md5('3') < md5('2') (c4ca.., eccb.., c81e.. -> actually
+    // compute below rather than hard-code the order)
+    val docs = Seq(
+      (1L, (0 until 5).map(i => s"a$i").mkString(" ")),   // 5 tokens
+      (2L, (0 until 7).map(i => s"b$i").mkString(" ")),   // 7 tokens
+      (3L, (0 until 4).map(i => s"c$i").mkString(" ")),   // 4 tokens
+      (4L, "")                                            // empty -> no rows
+    ).toDF("doc_id", "text")
+    val out = Sampling.packTokenBlocks(docs, blockSize = 6)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // reconstruct the expected layout from the same md5 order
+    val order = Seq(1L -> 5L, 2L -> 7L, 3L -> 4L)
+      .sortBy { case (id, _) =>
+        (java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString, id)
+      }
+    var off = 0L
+    val expected = order.flatMap { case (id, n) =>
+      val pieces = (off / 6 to (off + n - 1) / 6).map { b =>
+        val s = math.max(off, b * 6); val e = math.min(off + n, (b + 1) * 6)
+        (id, b, s - b * 6, s - off, e - s)
+      }
+      off += n
+      pieces
+    }
+    assert(out.toSet == expected.toSet)
+    // invariants: per-doc pieces sum to the doc's tokens; the stream is
+    // gapless (every block before the last holds exactly blockSize tokens)
+    val perBlock = out.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    val lastBlock = perBlock.keys.max
+    perBlock.foreach { case (b, tot) =>
+      if (b < lastBlock) assert(tot == 6L, s"block $b not full: $tot") }
+  }
+
   test("mediaIntegrity: resolved/orphan/unused statuses; repeated refs aggregated") {
     import spark.implicits._
     val docs = Seq(
