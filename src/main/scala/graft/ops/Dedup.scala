@@ -107,14 +107,22 @@ object Dedup {
   }
 
   /** Distinct word n-gram shingles per doc, exploded to (doc_id, shingle).
-    * Codegen'd column expressions only — no UDF.
+    * Codegen'd column expressions only — no UDF. Documents shorter than
+    * `n` words emit NO shingles (they cannot contain an n-gram): the
+    * filter guards the transform, because `sequence(0, size - n)` with
+    * `size < n` steps BACKWARDS to `[0, -1]` and the array access inside
+    * would be an INVALID_ARRAY_INDEX job failure under default ANSI mode.
+    * Consumers re-join against the full doc set where every-row output is
+    * needed (decontaminate), or correctly treat shingle-less docs as
+    * never-candidates (minhashLsh, ngramJaccardPairs).
     */
   def shingled(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
     val words = split(col(textCol), "\\s+")
     docs
       .withColumn("words", filter(words, w => length(w) > 0))
+      .filter(size(col("words")) >= n)
       .withColumn("shingles", array_distinct(
-        transform(sequence(lit(0), greatest(size(col("words")) - n, lit(-1))),
+        transform(sequence(lit(0), size(col("words")) - n),
           i => concat_ws(" ", (0 until n).map(j => col("words")(i + j)): _*))))
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
   }
@@ -423,17 +431,34 @@ object Dedup {
     *
     * Output: (doc_id, n_tokens, n_dup_ngrams, covered_tokens).
     */
-  def duplicatedNgramCoverage(docs: DataFrame, n: Int = 5,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
-    val occ = docs
-      .select(col(idCol).as("doc_id"), ws.as("w"))
+  /** Positioned n-gram occurrences `(doc_id, i, sh)` over a
+    * `(doc_id, w)` token table, plus the corpus-duplicated shingle set —
+    * the derivation shared by [[duplicatedNgramCoverage]] (measurement)
+    * and [[removeDuplicatedNgrams]] (action). Documents shorter than `n`
+    * tokens are filtered out BEFORE the shingle transform: they cannot
+    * contain an n-gram, and the unguarded `sequence(0, size - n)` is NOT
+    * empty when `size < n` — Spark's `sequence` steps BACKWARDS
+    * (`[0, -1]`), which under default ANSI mode turns `w(i + j)` into an
+    * INVALID_ARRAY_INDEX job failure (and with ANSI off fabricates two
+    * self-duplicating shingles that mark every short doc as duplicated).
+    */
+  private def dupShingleOccurrences(toks: DataFrame, n: Int): (DataFrame, DataFrame) = {
+    val occ = toks
+      .filter(size(col("w")) >= n)
       .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), greatest(size(col("w")) - n, lit(-1))),
+        transform(sequence(lit(0), size(col("w")) - n),
           i => concat_ws(" ", (0 until n).map(j => col("w")(i + j)): _*)))
         .as(Seq("i", "sh")))
     val dup = occ.groupBy("sh").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("sh")
+    (occ, dup)
+  }
+
+  def duplicatedNgramCoverage(docs: DataFrame, n: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val (occ, dup) = dupShingleOccurrences(
+      docs.select(col(idCol).as("doc_id"), ws.as("w")), n)
     val stats = occ.join(dup, "sh")
       .select(col("doc_id"), col("i"),
         explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
@@ -476,13 +501,7 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
     val toks = docs.select(col(idCol).as("doc_id"), ws.as("w"))
-    val occ = toks
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), greatest(size(col("w")) - n, lit(-1))),
-          i => concat_ws(" ", (0 until n).map(j => col("w")(i + j)): _*)))
-        .as(Seq("i", "sh")))
-    val dup = occ.groupBy("sh").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1).select("sh")
+    val (occ, dup) = dupShingleOccurrences(toks, n)
     val covered = occ.join(dup, "sh")
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
     val tokens = toks.select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tok")))

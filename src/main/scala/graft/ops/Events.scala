@@ -29,10 +29,14 @@ object Events {
     // UTC the cast is a pure reinterpretation (no wall-clock shift). An
     // already-TIMESTAMP column is used AS-IS: a cast would produce a new
     // attribute and sever the watermark tag, breaking the streaming form.
-    val ts = events.schema(tsCol).dataType match {
-      case org.apache.spark.sql.types.TimestampType => col(tsCol)
-      case _ => col(tsCol).cast("timestamp")
-    }
+    // case-INSENSITIVE lookup (mirroring the analyzer's default resolver —
+    // a schema(tsCol) apply would throw on a case variant the analyzer
+    // accepts); an unknown column falls to the cast path and fails in
+    // analysis with the standard unresolved-column error
+    val isTimestamp = events.schema
+      .find(f => f.name.equalsIgnoreCase(tsCol))
+      .exists(_.dataType == org.apache.spark.sql.types.TimestampType)
+    val ts = if (isTimestamp) col(tsCol) else col(tsCol).cast("timestamp")
     events
       .groupBy(col(userCol), session_window(ts, gap).as("sw"))
       .agg(

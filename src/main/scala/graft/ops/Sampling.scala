@@ -161,29 +161,57 @@ object Sampling {
     * (rows = partition count), then a local sort + running counter per
     * partition. No corpus-sized window, one range shuffle total.
     */
-  def shuffleOrder(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def shuffleOrder(df: DataFrame, idCol: String = "doc_id"): DataFrame =
+    exclusivePrefixSum(
+      df.select(col(idCol), md5(col(idCol).cast("string")).as("_h"),
+        lit(1L).as("_w")),
+      sortCols = Seq("_h", idCol))
+      .select(col(idCol), col("_off").as("pos"))
+
+  /** Distributed exclusive prefix sum — the shared skeleton of
+    * [[shuffleOrder]], [[packShards]] and [[packTokenBlocks]]. The input
+    * must carry a non-negative LongType `_w` weight column; rows are laid
+    * out in global `sortCols` order (range partition on the FIRST sort
+    * column, local sort on all of them) and every row gains `_off` = the
+    * sum of `_w` over all preceding rows. [[packShards]]'s scaladoc
+    * explains each step: the eager localCheckpoint pins the SAMPLED range
+    * bounds so both passes read one materialized layout (a lost block
+    * recomputing with different bounds would silently corrupt offsets);
+    * the driver folds exactly one row per partition; the running sum is
+    * mapPartitions rather than a window because the checkpointed scan
+    * reports UnknownPartitioning and `Window.partitionBy(_pid)` would
+    * re-shuffle the corpus by a column that IS the partition id.
+    * Output: the input columns in order, plus `_off`.
+    */
+  private def exclusivePrefixSum(df: DataFrame, sortCols: Seq[String]): DataFrame = {
     val base = df
-      .select(col(idCol), md5(col(idCol).cast("string")).as("_h"))
-      .repartitionByRange(col("_h"))
+      .repartitionByRange(col(sortCols.head))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
-    val counts = base.groupBy("_pid").agg(count(lit(1)).as("_n"))
+    val sums = base.groupBy("_pid").agg(sum("_w").as("_s"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets: Map[Int, Long] = {
       var acc = 0L
-      counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }.toMap
+      sums.map { case (pid, s) => val o = (pid, acc); acc += s; o }.toMap
     }
-    val outSchema = StructType(Seq(
-      base.schema(idCol), StructField("pos", LongType, nullable = false)))
-    base.sortWithinPartitions("_h", idCol)
+    val pidIdx = base.schema.fieldIndex("_pid")
+    val wIdx = base.schema.fieldIndex("_w")
+    val keep = base.schema.fields.zipWithIndex.filter(_._1.name != "_pid")
+    val keepIdx = keep.map(_._2)
+    val outSchema = StructType(
+      keep.map(_._1).toSeq :+ StructField("_off", LongType, nullable = false))
+    base.sortWithinPartitions(sortCols.map(col): _*)
       .mapPartitions { it =>
         var acc = 0L
         var seeded = false
         it.map { row =>
-          if (!seeded) { acc = offsets(row.getInt(2)); seeded = true }
-          val r = Row(row.get(0), acc)
-          acc += 1
-          r
+          if (!seeded) { acc = offsets(row.getInt(pidIdx)); seeded = true }
+          val vals = new Array[Any](keepIdx.length + 1)
+          var i = 0
+          while (i < keepIdx.length) { vals(i) = row.get(keepIdx(i)); i += 1 }
+          vals(keepIdx.length) = acc
+          acc += row.getLong(wIdx)
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
         }
       }(Encoders.row(outSchema))
   }
@@ -219,33 +247,12 @@ object Sampling {
   def packShards(df: DataFrame, budget: Long, idCol: String = "doc_id",
       weightCol: String = "n_chars"): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val base = df
-      .select(col(idCol), col(weightCol).cast("long").as("_w"))
-      .repartitionByRange(col(idCol))
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(true)
-    val sums = base.groupBy("_pid").agg(sum("_w").as("_s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
-      sums.map { case (pid, s) => val o = (pid, acc); acc += s; o }.toMap
-    }
-    val outSchema = StructType(Seq(
-      base.schema(idCol),
-      StructField(weightCol, LongType, nullable = false),
-      StructField("shard_id", LongType, nullable = false)))
-    base.sortWithinPartitions(idCol)
-      .mapPartitions { it =>
-        var acc = 0L
-        var seeded = false
-        it.map { row =>
-          if (!seeded) { acc = offsets(row.getInt(2)); seeded = true }
-          val w = row.getLong(1)
-          val shard = acc / budget // trunc == floor: prefix is non-negative
-          acc += w
-          Row(row.get(0), w, shard)
-        }
-      }(Encoders.row(outSchema))
+    exclusivePrefixSum(
+      df.select(col(idCol), col(weightCol).cast("long").as("_w")),
+      sortCols = Seq(idCol))
+      .select(col(idCol), col("_w").as(weightCol),
+        // integer `div` (not /): float division would round at 2^53
+        expr(s"_off div ${budget}L").as("shard_id"))
   }
 
   /** GPT-style fixed-size token-block packing WITH document splitting —
@@ -276,48 +283,24 @@ object Sampling {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(blockSize > 0, "blockSize must be positive")
     val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
-    val base = df
-      .select(col(idCol), md5(col(idCol).cast("string")).as("_h"),
-        size(ws).cast("long").as("_n"))
-      .filter(col("_n") > 0)
-      .repartitionByRange(col("_h"))
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(true)
-    val sums = base.groupBy("_pid").agg(sum("_n").as("_s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
-      sums.map { case (pid, s) => val o = (pid, acc); acc += s; o }.toMap
-    }
-    val offSchema = StructType(Seq(
-      base.schema(idCol),
-      StructField("_n", LongType, nullable = false),
-      StructField("_off", LongType, nullable = false)))
-    val withOff = base.sortWithinPartitions("_h", idCol)
-      .mapPartitions { it =>
-        var acc = 0L
-        var seeded = false
-        it.map { row =>
-          if (!seeded) { acc = offsets(row.getInt(3)); seeded = true }
-          val n = row.getLong(2)
-          val r = Row(row.get(0), n, acc)
-          acc += n
-          r
-        }
-      }(Encoders.row(offSchema))
+    val withOff = exclusivePrefixSum(
+      df.select(col(idCol), md5(col(idCol).cast("string")).as("_h"),
+        size(ws).cast("long").as("_w"))
+        .filter(col("_w") > 0),
+      sortCols = Seq("_h", idCol))
     // integer `div` keeps the block arithmetic exact on longs (float
     // division would round at 2^53 — real at trillion-token scale)
     val b = lit(blockSize.toLong)
     withOff
-      .select(col(idCol).as("doc_id"), col("_n"), col("_off"),
+      .select(col(idCol).as("doc_id"), col("_w"), col("_off"),
         explode(sequence(expr(s"_off div ${blockSize}L"),
-          expr(s"(_off + _n - 1) div ${blockSize}L"))).as("block_id"))
+          expr(s"(_off + _w - 1) div ${blockSize}L"))).as("block_id"))
       .select(col("doc_id"), col("block_id"),
         (greatest(col("_off"), col("block_id") * b) - col("block_id") * b)
           .as("start_in_block"),
         (greatest(col("_off"), col("block_id") * b) - col("_off"))
           .as("doc_offset"),
-        (least(col("_off") + col("_n"), (col("block_id") + 1) * b)
+        (least(col("_off") + col("_w"), (col("block_id") + 1) * b)
           - greatest(col("_off"), col("block_id") * b)).as("n_tokens_in_block"))
   }
 

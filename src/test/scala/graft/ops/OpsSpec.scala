@@ -805,6 +805,20 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"shuffle in renderInterleaved plan:\n$plan")
   }
 
+  test("shingled: docs shorter than n emit no shingles (no ANSI crash); consumers keep every row") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b c d e"), (3L, "")).toDF("doc_id", "text")
+    val sh = Dedup.shingled(docs, n = 3).collect()
+    assert(sh.forall(_.getLong(0) == 2L), s"short/empty docs produced shingles: ${sh.mkString(",")}")
+    // decontaminate still returns EVERY input row, short docs as clean
+    val eval = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val dec = Dedup.decontaminate(docs, eval, n = 3)
+      .select("doc_id", "contaminated").as[(Long, Int)].collect().toMap
+    assert(dec == Map(1L -> 0, 2L -> 1, 3L -> 0))
+    // pair ops treat shingle-less docs as never-candidates, not as errors
+    assert(Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.5).count() == 0)
+  }
+
   test("duplicatedNgramCoverage: planted overlap coverage exact, clean docs zero") {
     import spark.implicits._
     // doc 1 and doc 2 share words 0..9 (six shared 5-grams); doc 3 disjoint
@@ -812,7 +826,9 @@ class OpsSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, shared + " " + (0 until 5).map(i => s"a$i").mkString(" ")),
       (2L, shared + " " + (0 until 5).map(i => s"b$i").mkString(" ")),
-      (3L, (0 until 15).map(i => s"c$i").mkString(" "))
+      (3L, (0 until 15).map(i => s"c$i").mkString(" ")),
+      (4L, "s0 s1 s2"), // shorter than n: no 5-gram can exist, zeros out
+      (5L, "")          // empty: zeros out, not a crash (ANSI sequence(0,-1))
     ).toDF("doc_id", "text")
     val out = Dedup.duplicatedNgramCoverage(docs, n = 5)
       .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
@@ -821,6 +837,8 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L) == ((1L, 15, 6L, 10L)))
     assert(out(2L) == ((2L, 15, 6L, 10L)))
     assert(out(3L) == ((3L, 15, 0L, 0L)))
+    assert(out(4L) == ((4L, 3, 0L, 0L)))
+    assert(out(5L) == ((5L, 0, 0L, 0L)))
   }
 
   test("parseProps: typed field out, malformed/missing/non-integer degrade to null") {
@@ -949,7 +967,9 @@ class OpsSpec extends AnyFunSuite {
       (1L, shared + " " + (0 until 5).map(i => s"a$i").mkString(" ")),
       (2L, shared + " " + (0 until 5).map(i => s"b$i").mkString(" ")),
       (3L, (0 until 15).map(i => s"c$i").mkString(" ")),
-      (4L, shared) // fully duplicated -> empty text survives as a row
+      (4L, shared), // fully duplicated -> empty text survives as a row
+      (5L, "s0 s1 s2"), // shorter than n: comes back VERBATIM, not emptied
+      (6L, "")          // empty: survives as an empty row, not a crash
     ).toDF("doc_id", "text")
     val out = Dedup.removeDuplicatedNgrams(docs, n = 5)
       .as[(Long, String, Int, Long)].collect().map(r => r._1 -> r).toMap
@@ -957,6 +977,8 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, (0 until 5).map(i => s"b$i").mkString(" "), 15, 10L)))
     assert(out(3L) == ((3L, (0 until 15).map(i => s"c$i").mkString(" "), 15, 0L)))
     assert(out(4L) == ((4L, "", 10, 10L)))
+    assert(out(5L) == ((5L, "s0 s1 s2", 3, 0L)))
+    assert(out(6L) == ((6L, "", 0, 0L)))
   }
 
   test("vocabCoverage: top-df vocab with term tie-break; per-doc OOV occurrence counts") {

@@ -33,8 +33,19 @@ class StreamingSessionizeSpec extends AnyFunSuite {
     val wave1 = Seq((1L, ts(0)), (1L, ts(10)), (2L, ts(50)))
     val wave2 = Seq((1L, ts(20)), (1L, ts(200)), (99L, ts(100000)))
     wave1.toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(inDir)
-    Thread.sleep(100)
+    val seen = new scala.collection.mutable.HashSet[String]
+    java.nio.file.Files.list(java.nio.file.Paths.get(inDir)).iterator()
+      .forEachRemaining(p => { seen += p.toString; () })
     wave2.toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(inDir)
+    // FileStreamSource orders files by modification time; an mtime TIE
+    // between the waves could process the watermark-punctuation file
+    // first and drop wave1 as late data. Pin the order explicitly.
+    java.nio.file.Files.list(java.nio.file.Paths.get(inDir)).iterator()
+      .forEachRemaining { p =>
+        if (!seen.contains(p.toString))
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 10000))
+      }
 
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema)
