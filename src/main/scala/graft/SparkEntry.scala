@@ -631,6 +631,20 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), chunkSize = 32, stride = 24)
         .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")),
 
+    // corpus datacard: one-row release summary, all integers
+    "q74_corpus_card" -> ((s, dir) =>
+      TextAnalysis.corpusCard(s.read.parquet(s"$dir/documents.parquet"))
+        .select("n_docs", "n_tokens", "n_chars", "n_langs", "n_sources",
+          "n_empty_docs", "max_doc_tokens", "min_doc_tokens")),
+
+    // sentence splitting over planted terminal punctuation (the corpus
+    // text has none, so every 'batch' gains a period first)
+    "q75_split_sentences" -> ((s, dir) =>
+      TextAnalysis.splitSentences(
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("text", regexp_replace(col("text"), "\\bbatch\\b", "batch.")))
+        .select("doc_id", "sent_id", "sentence", "n_words")),
+
     // JSON props extraction with a malformed side-channel: every tenth
     // event's payload corrupted to exercise the error path
     "q73_parse_props" -> ((s, dir) => {
@@ -1476,6 +1490,36 @@ object SparkEntry {
                  coalesce(st.n_dup_ngrams, 0) AS n_dup_ngrams,
                  coalesce(st.covered_tokens, 0) AS covered_tokens
           FROM toks LEFT JOIN st USING (doc_id)""",
+
+    // identical one-pass totals (sums cast: DuckDB sums to HUGEINT)
+    "q74_corpus_card" ->
+      s"""SELECT count(*) AS n_docs,
+                 sum(len($WORDS))::BIGINT AS n_tokens,
+                 sum(len(text))::BIGINT AS n_chars,
+                 count(DISTINCT lang) AS n_langs,
+                 count(DISTINCT source) AS n_sources,
+                 sum(CASE WHEN len($WORDS) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty_docs,
+                 max(len($WORDS)) AS max_doc_tokens,
+                 min(len($WORDS)) AS min_doc_tokens
+          FROM documents""",
+
+    // identical segmentation: RE2 split on the same pattern after the
+    // same planted-punctuation rewrite
+    "q75_split_sentences" ->
+      """WITH d AS (SELECT doc_id,
+                      regexp_replace(text, '\bbatch\b', 'batch.', 'g') AS text
+                    FROM documents),
+          s AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '[.!?]+\s+'),
+                    x -> len(x) > 0) AS sents
+                FROM d),
+          e AS (SELECT doc_id, p - 1 AS sent_id, sents[p] AS sentence
+                FROM (SELECT doc_id, sents,
+                        unnest(generate_series(1, len(sents))) AS p FROM s))
+          SELECT doc_id, sent_id, sentence,
+                 len(list_filter(regexp_split_to_array(sentence, '\s+'),
+                   w -> len(w) > 0)) AS n_words
+          FROM e""",
 
     // identical extraction: json field '$.k' as BIGINT, null on corrupt
     // JSON or non-integer field

@@ -312,6 +312,55 @@ object TextAnalysis {
       .groupBy("percentile").agg(min("n_tokens").as("n_tokens"))
   }
 
+  /** Corpus datacard — the one-row release summary every dataset ships
+    * with: document/token/char totals, language and source cardinalities,
+    * empty-doc count, token-length extremes. All integers (exact
+    * cross-engine compare); percentile detail lives in
+    * [[lengthPercentiles]], per-language composition in the domain/lang
+    * histogram ops — this is the headline row.
+    *
+    * Scale shape: ONE full-scan aggregation with map-side partials; the
+    * two count-distincts ride the same pass via Spark's expand (3x the
+    * map-side rows of one scan, still a single shuffle of partial
+    * buffers). Output is exactly one row.
+    */
+  def corpusCard(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang", sourceCol: String = "source"): DataFrame = {
+    val ws = words(col(textCol))
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(ws)).as("n_tokens"),
+      sum(length(col(textCol))).as("n_chars"),
+      countDistinct(col(langCol)).as("n_langs"),
+      countDistinct(col(sourceCol)).as("n_sources"),
+      sum(when(size(ws) === 0, 1L).otherwise(0L)).as("n_empty_docs"),
+      max(size(ws)).as("max_doc_tokens"),
+      min(size(ws)).as("min_doc_tokens"))
+  }
+
+  /** Sentence splitting — the pre-tokenization segmentation pass: text is
+    * cut at runs of terminal punctuation followed by whitespace
+    * (`[.!?]+\s+`, a construct whose split semantics agree between Java
+    * regex and RE2, so an oracle replays it exactly); a trailing sentence
+    * keeps its final punctuation (no whitespace follows it to split on),
+    * and empty/whitespace-only pieces are dropped — an empty document
+    * emits no rows.
+    *
+    * Scale shape: one codegen'd projection (split + filter) + one
+    * posexplode — map-only, zero shuffle, output cardinality = sentence
+    * count, produced streaming-fashion.
+    *
+    * Output: (doc_id, sent_id, sentence, n_words).
+    */
+  def splitSentences(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sents = filter(split(col(textCol), "[.!?]+\\s+"), s => length(s) > 0)
+    docs
+      .select(col(idCol).as("doc_id"), posexplode(sents).as(Seq("sent_id", "sentence")))
+      .withColumn("n_words",
+        size(filter(split(col("sentence"), "\\s+"), w => length(w) > 0)))
+  }
+
   /** Characteristic terms per document — a FLOAT-FREE tf-idf: each
     * document's terms ranked by (term frequency DESC, corpus document
     * frequency ASC, term ASC), top `k` kept. The lexicographic integer

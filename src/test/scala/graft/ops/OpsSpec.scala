@@ -889,6 +889,37 @@ class OpsSpec extends AnyFunSuite {
     assert(joined.map(_._3).sum > 0, "corpus produced no duplicated 5-grams")
   }
 
+  test("corpusCard: one-row totals incl. empty docs and cardinalities") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a bb ccc", "en", "web"),
+      (2L, "x y", "en", "book"),
+      (3L, "", "de", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.corpusCard(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Int, Int)].collect()
+    assert(out.length == 1)
+    assert(out.head == ((3L, 5L, 11L, 2L, 2L, 1L, 3, 0)))
+  }
+
+  test("splitSentences: terminal-punct runs split, trailing sentence keeps punct, empty none") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "first one. second!? third end."), // trailing '.' has no space after
+      (2L, "no punctuation at all"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.splitSentences(docs)
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(out == Set(
+      (1L, 0, "first one", 2),
+      (1L, 1, "second", 1),
+      (1L, 2, "third end.", 2),
+      (2L, 0, "no punctuation at all", 4)))
+    val plan = TextAnalysis.splitSentences(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in splitSentences plan:\n$plan")
+  }
+
   test("lengthPercentiles: nearest-rank exact on a known distribution") {
     import spark.implicits._
     // lengths 1..10, one doc each: p50 -> 5, p90 -> 9, p99 -> 10, p100 -> 10
