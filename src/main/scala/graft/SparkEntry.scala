@@ -631,6 +631,13 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), chunkSize = 32, stride = 24)
         .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")),
 
+    // materialized training blocks: q71's assignment map joined back to
+    // the token stream, one row per 64-token block
+    "q76_materialize_blocks" -> ((s, dir) =>
+      Sampling.materializeBlocks(
+        s.read.parquet(s"$dir/documents.parquet"), blockSize = 64)
+        .select("block_id", "block_text", "n_docs", "n_tokens")),
+
     // corpus datacard: one-row release summary, all integers
     "q74_corpus_card" -> ((s, dir) =>
       TextAnalysis.corpusCard(s.read.parquet(s"$dir/documents.parquet"))
@@ -1490,6 +1497,35 @@ object SparkEntry {
                  coalesce(st.n_dup_ngrams, 0) AS n_dup_ngrams,
                  coalesce(st.covered_tokens, 0) AS covered_tokens
           FROM toks LEFT JOIN st USING (doc_id)""",
+
+    // same piece derivation as q71, joined back to the positioned token
+    // stream and re-assembled per block in bp order
+    "q76_materialize_blocks" ->
+      s"""WITH toks AS (SELECT doc_id, $WORDS AS w FROM documents
+                        WHERE len($WORDS) > 0),
+          o AS (SELECT doc_id, len(w) AS n, w,
+                  coalesce(sum(len(w)) OVER (ORDER BY md5(doc_id::VARCHAR), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+                FROM toks),
+          b AS (SELECT doc_id, off, n,
+                  unnest(generate_series(off // 64, (off + n - 1) // 64)) AS block_id
+                FROM o),
+          pieces AS (SELECT doc_id, block_id,
+                       greatest(off, block_id * 64) - block_id * 64 AS start_in_block,
+                       greatest(off, block_id * 64) - off AS doc_offset,
+                       least(off + n, (block_id + 1) * 64)
+                         - greatest(off, block_id * 64) AS n_tokens_in_block
+                     FROM b),
+          tok AS (SELECT doc_id, p - 1 AS p, w[p] AS tok
+                  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM toks)),
+          j AS (SELECT pc.block_id,
+                  pc.start_in_block + t.p - pc.doc_offset AS bp, t.tok, t.doc_id
+                FROM pieces pc JOIN tok t ON t.doc_id = pc.doc_id
+                WHERE t.p >= pc.doc_offset
+                  AND t.p < pc.doc_offset + pc.n_tokens_in_block)
+          SELECT block_id, string_agg(tok, ' ' ORDER BY bp) AS block_text,
+                 count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens
+          FROM j GROUP BY 1""",
 
     // identical one-pass totals (sums cast: DuckDB sums to HUGEINT)
     "q74_corpus_card" ->

@@ -304,6 +304,43 @@ object Sampling {
           - greatest(col("_off"), col("block_id") * b)).as("n_tokens_in_block"))
   }
 
+  /** Materialize the actual training blocks from [[packTokenBlocks]]'s
+    * assignment map: each block's token stream re-assembled in order
+    * across the documents that contribute to it. This is the terminal
+    * artifact a trainer reads — fixed `blockSize`-token sequences (the
+    * last block possibly partial), with the contributing-document count
+    * riding along for provenance.
+    *
+    * Scale shape: one posexplode of the corpus token stream + ONE
+    * equi-join on doc_id against the piece map (fan-out = pieces per doc
+    * ≤ n/blockSize + 1, then filtered to the owning piece), then ONE
+    * groupBy(block_id) whose `collect_list` buffer is bounded by
+    * `blockSize` BY CONSTRUCTION — block-sized state, never doc- or
+    * corpus-sized. No windows beyond the prefix sum already inside
+    * packTokenBlocks.
+    *
+    * Output: (block_id, block_text, n_docs, n_tokens).
+    */
+  def materializeBlocks(df: DataFrame, blockSize: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val map = packTokenBlocks(df, blockSize, textCol, idCol)
+    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val toks = df.select(col(idCol).as("doc_id"), posexplode(ws).as(Seq("p", "tok")))
+    toks.join(map, Seq("doc_id"))
+      .filter(col("p") >= col("doc_offset") &&
+        col("p") < col("doc_offset") + col("n_tokens_in_block"))
+      .select(col("block_id"),
+        (col("start_in_block") + col("p") - col("doc_offset")).as("bp"),
+        col("tok"), col("doc_id"))
+      .groupBy("block_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("bp"), col("tok")))),
+          x => x("tok"))).as("block_text"),
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Fixed-token-window chunking with overlap — the training-example
     * derivation step: each document's word stream is cut into windows of
     * `chunkSize` tokens starting every `stride` tokens (stride < chunkSize

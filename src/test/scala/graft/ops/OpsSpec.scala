@@ -967,6 +967,35 @@ class OpsSpec extends AnyFunSuite {
       if (b < lastBlock) assert(tot == 6L, s"block $b not full: $tot") }
   }
 
+  test("materializeBlocks: block text re-assembled across doc boundaries in stream order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (0 until 5).map(i => s"a$i").mkString(" ")),
+      (2L, (0 until 7).map(i => s"b$i").mkString(" ")),
+      (3L, (0 until 4).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Sampling.materializeBlocks(docs, blockSize = 6)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // reconstruct the expected stream from the same md5 order
+    val stream = Seq(1L -> 5, 2L -> 7, 3L -> 4)
+      .sortBy { case (id, _) =>
+        (java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString, id)
+      }
+      .flatMap { case (id, n) =>
+        val pfx = Map(1L -> "a", 2L -> "b", 3L -> "c")(id)
+        (0 until n).map(i => (id, s"$pfx$i"))
+      }
+    val expected = stream.grouped(6).zipWithIndex.map { case (g, b) =>
+      (b.toLong, g.map(_._2).mkString(" "), g.map(_._1).distinct.size.toLong, g.size.toLong)
+    }.toSeq
+    assert(out.toSeq == expected, s"got ${out.mkString("; ")}")
+    // every block before the last is exactly full
+    assert(out.dropRight(1).forall(_._4 == 6L))
+    assert(out.map(_._4).sum == 16L)
+  }
+
   test("mediaIntegrity: resolved/orphan/unused statuses; repeated refs aggregated") {
     import spark.implicits._
     val docs = Seq(
