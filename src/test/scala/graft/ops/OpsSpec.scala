@@ -967,6 +967,40 @@ class OpsSpec extends AnyFunSuite {
       if (b < lastBlock) assert(tot == 6L, s"block $b not full: $tot") }
   }
 
+  test("packTokenBlocks property: per-doc pieces partition the doc; blocks gapless (200 random docs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val lens = (1 to 200).map(i => i.toLong -> rnd.nextInt(40)).toMap
+    val docs = lens.toSeq.map { case (id, n) =>
+      (id, (0 until n).map(j => s"w${id}_$j").mkString(" ")) }.toDF("doc_id", "text")
+    val out = Sampling.packTokenBlocks(docs, blockSize = 17)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val totalTokens = lens.values.map(_.toLong).sum
+    // global: the pieces cover the whole stream exactly once
+    assert(out.map(_._5).sum == totalTokens)
+    // per-doc: pieces are contiguous in doc_offset and partition [0, n)
+    out.groupBy(_._1).foreach { case (id, pieces) =>
+      val sorted = pieces.sortBy(_._4) // by doc_offset
+      assert(sorted.head._4 == 0L, s"doc $id first piece offset ${sorted.head._4}")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 == b._4, s"doc $id pieces not contiguous")
+        case _ =>
+      }
+      assert(sorted.map(_._5).sum == lens(id).toLong, s"doc $id pieces don't sum")
+      // block-local placement stays inside the block
+      sorted.foreach { p =>
+        assert(p._3 >= 0 && p._3 + p._5 <= 17, s"doc $id piece exceeds block: $p") }
+    }
+    // per-block: every block before the last is exactly full, ids contiguous
+    val perBlock = out.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    val maxB = perBlock.keys.max
+    assert(perBlock.keys.toSet == (0L to maxB).toSet, "block ids not contiguous")
+    (0L until maxB).foreach(b => assert(perBlock(b) == 17L, s"block $b not full: ${perBlock(b)}"))
+    // docs with zero tokens emit nothing
+    val emptyIds = lens.filter(_._2 == 0).keySet
+    assert(out.forall(p => !emptyIds.contains(p._1)))
+  }
+
   test("materializeBlocks: block text re-assembled across doc boundaries in stream order") {
     import spark.implicits._
     val docs = Seq(
