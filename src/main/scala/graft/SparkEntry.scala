@@ -638,6 +638,15 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), blockSize = 64)
         .select("block_id", "block_text", "n_docs", "n_tokens")),
 
+    // CCNet-style unigram-LM quality score in exact integer arithmetic
+    // (quantized surprisal via bit-length, no IEEE log): vocabSize 16 of a
+    // 31-token synthetic vocabulary so in-vocab AND OOV paths both score
+    "q77_unigram_surprisal" -> ((s, dir) =>
+      TextAnalysis.unigramSurprisal(
+        s.read.parquet(s"$dir/documents.parquet"), vocabSize = 16)
+        .select("doc_id", "n_tokens", "surprisal_sum", "surprisal_c100",
+          "ppl_bucket")),
+
     // corpus datacard: one-row release summary, all integers
     "q74_corpus_card" -> ((s, dir) =>
       TextAnalysis.corpusCard(s.read.parquet(s"$dir/documents.parquet"))
@@ -1526,6 +1535,33 @@ object SparkEntry {
           SELECT block_id, string_agg(tok, ' ' ORDER BY bp) AS block_text,
                  count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens
           FROM j GROUP BY 1""",
+
+    // identical model: floorLog2 replayed as len(bin(n))-1 (bin() agrees
+    // between engines for positive integers: no leading zeros), identical
+    // deterministic vocabulary cut (count desc, token asc LIMIT 16), and
+    // integer division (both positive, so // and div agree)
+    "q77_unigram_surprisal" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($WORDS) AS tok FROM documents),
+          counts AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY tok),
+          tot AS (SELECT len(bin(sum(cnt)::BIGINT)) - 1 AS maxs FROM counts),
+          vocab AS (SELECT tok, (SELECT maxs FROM tot) - (len(bin(cnt)) - 1) AS s
+                    FROM counts ORDER BY cnt DESC, tok LIMIT 16),
+          per AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                         sum(coalesce(v.s, (SELECT maxs FROM tot)))::BIGINT AS surprisal_sum
+                  FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id),
+          sc AS (SELECT d.doc_id,
+                        coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+                        coalesce(p.surprisal_sum, 0)::BIGINT AS surprisal_sum,
+                        (CASE WHEN coalesce(p.n_tokens, 0) > 0
+                              THEN (p.surprisal_sum * 100) // p.n_tokens
+                              ELSE 0 END)::BIGINT AS surprisal_c100
+                 FROM documents d LEFT JOIN per p USING (doc_id))
+          SELECT doc_id, n_tokens, surprisal_sum, surprisal_c100,
+                 CASE WHEN n_tokens = 0 THEN 'empty'
+                      WHEN surprisal_c100 * 2 <= (SELECT maxs FROM tot) * 100 THEN 'fluent'
+                      WHEN surprisal_c100 * 4 <= (SELECT maxs FROM tot) * 300 THEN 'mid'
+                      ELSE 'rare' END AS ppl_bucket
+          FROM sc""",
 
     // identical one-pass totals (sums cast: DuckDB sums to HUGEINT)
     "q74_corpus_card" ->

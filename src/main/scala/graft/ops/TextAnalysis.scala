@@ -403,4 +403,78 @@ object TextAnalysis {
         }
       }.toDF("doc_id", "rank", "term", "tf", "df")
   }
+
+  /** floor(log2(n)) for n >= 1 as exact bit-length arithmetic (no IEEE log
+    * anywhere, so a cross-engine oracle can replay it via `len(bin(n)) - 1`).
+    */
+  private def floorLog2(n: Long): Int = {
+    require(n >= 1, s"floorLog2 undefined for $n")
+    63 - java.lang.Long.numberOfLeadingZeros(n)
+  }
+
+  /** CCNet-style unigram-LM quality score in exact integer arithmetic.
+    *
+    * Trains a unigram model over the corpus itself (token counts), keeps the
+    * top `vocabSize` tokens (count desc, token asc — a total order, so the
+    * vocabulary SET is deterministic), and scores each document by the sum of
+    * quantized token surprisals S(w) = floorLog2(totalTokens) -
+    * floorLog2(count(w)); out-of-vocabulary tokens get the worst case
+    * floorLog2(totalTokens) (an implicit count of 1). floorLog2 is
+    * bit-length arithmetic on exact integer counts, so scores hash-compare
+    * across engines — the usual IEEE-log perplexity is order-of-summation
+    * dependent and cannot be oracle-gated. Output: per doc, `n_tokens`,
+    * `surprisal_sum`, the mean x100 (`surprisal_c100`, integer division) and
+    * a 3-way `ppl_bucket` relative to the model's max surprisal (fluent =
+    * mean <= half of max; rare = mean > three quarters of max).
+    *
+    * Scale: training is ONE groupBy(token) count with map-side partial
+    * aggregation over a persisted token-count table (two driver-bounded
+    * actions on it: a vocabSize-row TakeOrdered and a single-row sum);
+    * scoring is a BROADCAST hash join of the vocabSize-row model against
+    * the exploded token stream (a map literal would make each lookup a
+    * linear scan of the map — GetMapValue has no hash index), one
+    * groupBy(doc_id) with map-side partials, and one doc_id join back to
+    * carry zero-token documents. At 100 TB the model stays driver/broadcast
+    * bounded at vocabSize rows and the only wide ops key on doc_id.
+    * Reference analog: corpus-statistics counters over extracted fulltext
+    * (adsft/extraction.py checker/metrics pass); the quantized-surprisal
+    * formulation is the CCNet quality-filter idea made oracle-exact.
+    */
+  def unigramSurprisal(docs: DataFrame, vocabSize: Int = 4096,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ws = words(col(textCol))
+    val counts = docs.select(explode(ws).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .persist()
+    try {
+      val totalTokens = counts.agg(sum("cnt")).first() match {
+        case r if r.isNullAt(0) =>
+          throw new IllegalArgumentException("unigramSurprisal: empty corpus")
+        case r => r.getLong(0)
+      }
+      val maxS = floorLog2(totalTokens).toLong
+      val vocab = counts.orderBy(col("cnt").desc, col("tok"))
+        .limit(vocabSize).collect()
+        .map(r => r.getString(0) -> (maxS - floorLog2(r.getLong(1))))
+      val model = broadcast(vocab.toSeq.toDF("tok", "s"))
+      val scores = docs.select(col(idCol), explode(ws).as("tok"))
+        .join(model, Seq("tok"), "left")
+        .groupBy(idCol).agg(
+          count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("s"), lit(maxS))).as("surprisal_sum"))
+      docs.join(scores, Seq(idCol), "left")
+        .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+        .withColumn("surprisal_sum", coalesce(col("surprisal_sum"), lit(0L)))
+        .withColumn("surprisal_c100",
+          when(col("n_tokens") > 0, expr("surprisal_sum * 100 div n_tokens"))
+            .otherwise(lit(0L)))
+        .withColumn("ppl_bucket",
+          when(col("n_tokens") === 0, "empty")
+            .when(col("surprisal_c100") * 2 <= maxS * 100, "fluent")
+            .when(col("surprisal_c100") * 4 <= maxS * 300, "mid")
+            .otherwise("rare"))
+    } finally counts.unpersist()
+  }
 }

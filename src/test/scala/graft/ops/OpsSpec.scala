@@ -1001,6 +1001,36 @@ class OpsSpec extends AnyFunSuite {
     assert(out.forall(p => !emptyIds.contains(p._1)))
   }
 
+  test("unigramSurprisal: hand-computed quantized scores, OOV and empty docs") {
+    import spark.implicits._
+    // counts: a=5, b=2, c=2; total=9 -> maxS = floorLog2(9) = 3
+    // vocab(2) by (cnt desc, tok asc) = {a: 3-floorLog2(5)=1, b: 3-1=2}; OOV c -> 3
+    val docs = Seq(
+      (1L, "a a a a"), (2L, "a b"), (3L, ""), (4L, "c c b")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(docs, vocabSize = 2)
+      .select("doc_id", "n_tokens", "surprisal_sum", "surprisal_c100", "ppl_bucket")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out === Array(
+      (1L, 4L, 4L, 100L, "fluent"),   // 4x s(a)=1; 100*2 <= 300
+      (2L, 2L, 3L, 150L, "fluent"),   // s(a)+s(b)=3; 150*2 = 300 <= 300
+      (3L, 0L, 0L, 0L, "empty"),
+      (4L, 3L, 8L, 266L, "rare")))    // 3+3+2; 266*4 > 900
+  }
+
+  test("unigramSurprisal: empty corpus throws; huge vocabSize leaves no OOV") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unigramSurprisal(Seq((1L, "")).toDF("doc_id", "text"))
+    }
+    // with the whole vocabulary in-model, every token scores maxS - floorLog2(cnt)
+    val docs = Seq((1L, "x y"), (2L, "x")).toDF("doc_id", "text")
+    // counts: x=2, y=1; total=3 -> maxS=1; s(x)=1-1=0, s(y)=1-0=1
+    val out = TextAnalysis.unigramSurprisal(docs, vocabSize = 100)
+      .select("doc_id", "surprisal_sum").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out === Array((1L, 1L), (2L, 0L)))
+  }
+
   test("materializeBlocks: block text re-assembled across doc boundaries in stream order") {
     import spark.implicits._
     val docs = Seq(
