@@ -48,7 +48,7 @@ object SparkEntry {
   private def dedupUniverse(s: SparkSession, dir: String): DataFrame = {
     val base = s.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") < 200).select("doc_id", "text")
-    val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val words = ops.TextAnalysis.words(col("text"))
     val mutated = base
       .withColumn("text", concat_ws(" ", slice(words, lit(1), size(words) - 1)))
       .withColumn("doc_id", col("doc_id") + 1000000L)
@@ -163,7 +163,7 @@ object SparkEntry {
     "q36_dup_clusters" -> ((s, dir) => {
       val base = s.read.parquet(s"$dir/documents.parquet")
         .filter(col("doc_id") < 60).select("doc_id", "text")
-      val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+      val words = ops.TextAnalysis.words(col("text"))
       def dropK(k: Int, off: Long) = base
         .withColumn("text", concat_ws(" ", slice(words, lit(1), size(words) - k)))
         .withColumn("doc_id", col("doc_id") + off)
@@ -521,7 +521,7 @@ object SparkEntry {
     "q55_resolve_dups" -> ((s, dir) => {
       val base = s.read.parquet(s"$dir/documents.parquet")
         .filter(col("doc_id") < 60).select("doc_id", "text")
-      val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+      val words = ops.TextAnalysis.words(col("text"))
       def dropK(k: Int, off: Long) = base.filter(col("doc_id") < 40)
         .withColumn("text", concat_ws(" ", slice(words, lit(1), size(words) - k)))
         .withColumn("doc_id", col("doc_id") + off)
@@ -723,7 +723,10 @@ object SparkEntry {
     """array_to_string(list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0 AND len(w) < 100), ' ')"""
   private val K = "printf('D%09d', doc_id)"
   private val W0 = "split_part(text, ' ', 1)"
-  private val WORDS = """list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0)"""
+  // the oracle-side mirror of ops.TextAnalysis.words — whitespace class is
+  // explicit (Java \s == [ \t\n\x0B\f\r]; RE2 \s omits \x0B) so both engines
+  // tokenize identically on EVERY input; change in lockstep with words()
+  private val WORDS = """list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), w -> len(w) > 0)"""
 
   private def xmlFulltext =
     s"'I. INTRODUCTION ' || $C || ' Manual Entry 1 TABLE ' || $K || '. CAP ' || $K || ' NOTES ' || $K || chr(10) || 'APPENDIX ' || $K || ' APP ' || $W0"
@@ -770,7 +773,7 @@ object SparkEntry {
   /** pairwise n-gram Jaccard >= 0.85 over any inline universe relation */
   private def jaccardPairsOver(uni: String) =
     s"""WITH uni AS $uni,
-      toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0) AS w FROM uni),
+      toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), w -> len(w) > 0) AS w FROM uni),
       sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle FROM toks),
       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
@@ -914,7 +917,7 @@ object SparkEntry {
 
     "q21_token_counts" ->
       s"""SELECT doc_id, len($WORDS) AS ws_tokens,
-          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS bpe_tokens
           FROM documents""",
 
     "q22_fingerprint" ->
@@ -1582,14 +1585,14 @@ object SparkEntry {
                       regexp_replace(text, '\bbatch\b', 'batch.', 'g') AS text
                     FROM documents),
           s AS (SELECT doc_id,
-                  list_filter(regexp_split_to_array(text, '[.!?]+\s+'),
+                  list_filter(regexp_split_to_array(text, '[.!?]+[ \t\n\x0b\f\r]+'),
                     x -> len(x) > 0) AS sents
                 FROM d),
           e AS (SELECT doc_id, p - 1 AS sent_id, sents[p] AS sentence
                 FROM (SELECT doc_id, sents,
                         unnest(generate_series(1, len(sents))) AS p FROM s))
           SELECT doc_id, sent_id, sentence,
-                 len(list_filter(regexp_split_to_array(sentence, '\s+'),
+                 len(list_filter(regexp_split_to_array(sentence, '[ \t\n\x0b\f\r]+'),
                    w -> len(w) > 0)) AS n_words
           FROM e""",
 

@@ -117,9 +117,8 @@ object Dedup {
     * never-candidates (minhashLsh, ngramJaccardPairs).
     */
   def shingled(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
-    val words = split(col(textCol), "\\s+")
     docs
-      .withColumn("words", filter(words, w => length(w) > 0))
+      .withColumn("words", TextAnalysis.words(col(textCol)))
       .filter(size(col("words")) >= n)
       .withColumn("shingles", array_distinct(
         transform(sequence(lit(0), size(col("words")) - n),
@@ -456,7 +455,7 @@ object Dedup {
 
   def duplicatedNgramCoverage(docs: DataFrame, n: Int = 5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val ws = TextAnalysis.words(col(textCol))
     val (occ, dup) = dupShingleOccurrences(
       docs.select(col(idCol).as("doc_id"), ws.as("w")), n)
     val stats = occ.join(dup, "sh")
@@ -499,7 +498,7 @@ object Dedup {
     */
   def removeDuplicatedNgrams(docs: DataFrame, n: Int = 5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val ws = TextAnalysis.words(col(textCol))
     val toks = docs.select(col(idCol).as("doc_id"), ws.as("w"))
     val (occ, dup) = dupShingleOccurrences(toks, n)
     val covered = occ.join(dup, "sh")
@@ -575,7 +574,7 @@ object Dedup {
     * expressions only (conv + bitwise ops are codegen'd).
     */
   def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val words = TextAnalysis.words(col(textCol))
     // per word: 64-bit value from md5 (use 15 hex chars = 60 bits to stay
     // positive in conv(), top 4 bits always 0 — mirrored by the oracle)
     val wordHash = transform(words, w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))

@@ -282,7 +282,7 @@ object Sampling {
   def packTokenBlocks(df: DataFrame, blockSize: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(blockSize > 0, "blockSize must be positive")
-    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val ws = TextAnalysis.words(col(textCol))
     val withOff = exclusivePrefixSum(
       df.select(col(idCol), md5(col(idCol).cast("string")).as("_h"),
         size(ws).cast("long").as("_w"))
@@ -312,26 +312,38 @@ object Sampling {
     * riding along for provenance.
     *
     * Scale shape: one posexplode of the corpus token stream + ONE
-    * equi-join on doc_id against the piece map (fan-out = pieces per doc
-    * ≤ n/blockSize + 1, then filtered to the owning piece), then ONE
-    * groupBy(block_id) whose `collect_list` buffer is bounded by
-    * `blockSize` BY CONSTRUCTION — block-sized state, never doc- or
-    * corpus-sized. No windows beyond the prefix sum already inside
-    * packTokenBlocks.
+    * equi-join on doc_id against the ONE-ROW-PER-DOC global-offset table
+    * (the same prefix sum [[packTokenBlocks]] uses) — each token meets
+    * exactly one offset row, so join volume is O(corpus tokens), never
+    * tokens × pieces (joining the piece map instead would make a 1M-token
+    * doc enumerate ~tokens²/blockSize pairs in one sort-merge task before
+    * the range filter — a straggler at trillion-token scale). The token's
+    * block and in-block position are then pure arithmetic on the global
+    * position: `g = _off + p`, `block_id = g div B`, `bp = g mod B` —
+    * identical to the piece-map algebra (`start_in_block + p - doc_offset`
+    * telescopes to `g - block_id*B`). Then ONE groupBy(block_id) whose
+    * `collect_list` buffer is bounded by `blockSize` BY CONSTRUCTION —
+    * block-sized state, never doc- or corpus-sized. No windows beyond the
+    * prefix sum.
     *
     * Output: (block_id, block_text, n_docs, n_tokens).
     */
   def materializeBlocks(df: DataFrame, blockSize: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val map = packTokenBlocks(df, blockSize, textCol, idCol)
-    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    require(blockSize > 0, "blockSize must be positive")
+    val ws = TextAnalysis.words(col(textCol))
+    val offs = exclusivePrefixSum(
+      df.select(col(idCol), md5(col(idCol).cast("string")).as("_h"),
+        size(ws).cast("long").as("_w"))
+        .filter(col("_w") > 0),
+      sortCols = Seq("_h", idCol))
+      .select(col(idCol).as("doc_id"), col("_off"))
     val toks = df.select(col(idCol).as("doc_id"), posexplode(ws).as(Seq("p", "tok")))
-    toks.join(map, Seq("doc_id"))
-      .filter(col("p") >= col("doc_offset") &&
-        col("p") < col("doc_offset") + col("n_tokens_in_block"))
-      .select(col("block_id"),
-        (col("start_in_block") + col("p") - col("doc_offset")).as("bp"),
-        col("tok"), col("doc_id"))
+    val b = lit(blockSize.toLong)
+    toks.join(offs, Seq("doc_id"))
+      .withColumn("g", col("_off") + col("p").cast("long"))
+      .select(expr(s"g div ${blockSize}L").as("block_id"),
+        (col("g") % b).as("bp"), col("tok"), col("doc_id"))
       .groupBy("block_id")
       .agg(
         concat_ws(" ", transform(
@@ -366,7 +378,7 @@ object Sampling {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
       "need 0 < stride <= chunkSize")
-    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val ws = TextAnalysis.words(col(textCol))
     val nw = size(col("w"))
     // number of windows: 1 + ceil(max(nw - chunkSize, 0) / stride)
     val k = (floor((greatest(nw - chunkSize, lit(0)) + lit(stride - 1))

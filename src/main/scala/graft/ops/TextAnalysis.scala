@@ -19,8 +19,18 @@ object TextAnalysis {
     "zh" -> Seq("de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe")
   )
 
-  private def words(textCol: Column): Column =
-    filter(split(textCol, "\\s+"), w => length(w) > 0)
+  /** THE corpus tokenizer — the single whitespace-split contract shared by
+    * every token-level operator in `graft.ops` (token counts, packing,
+    * block materialization, n-gram dedup) AND mirrored by the DuckDB
+    * oracle. The whitespace class is spelled explicitly (` \t\n\x0B\f\r`,
+    * exactly Java's ASCII `\s`) instead of `\s` because Java and RE2
+    * disagree on `\s` (RE2 omits U+000B) — with the explicit class both
+    * engines split identically on every input, not just inputs that avoid
+    * vertical tabs. Change this in lockstep with `SparkEntry.WORDS` or
+    * Spark-vs-oracle tokenization silently skews.
+    */
+  def words(textCol: Column): Column =
+    filter(split(textCol, "[ \\t\\n\\x0B\\f\\r]+"), w => length(w) > 0)
 
   private def countIn(ws: Column, list: Seq[String]): Column =
     size(filter(ws, w => w.isInCollection(list)))
@@ -69,7 +79,8 @@ object TextAnalysis {
     docs
       .withColumn("ws_tokens", size(words(col(textCol))))
       .withColumn("bpe_tokens",
-        size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+        size(regexp_extract_all(col(textCol),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0))))
 
   /** Document fingerprint: minimum md5 over word 5-gram shingles (a
     * winnowing-style content fingerprint robust to reordering of far-apart
@@ -340,8 +351,10 @@ object TextAnalysis {
 
   /** Sentence splitting — the pre-tokenization segmentation pass: text is
     * cut at runs of terminal punctuation followed by whitespace
-    * (`[.!?]+\s+`, a construct whose split semantics agree between Java
-    * regex and RE2, so an oracle replays it exactly); a trailing sentence
+    * (`[.!?]+[ \t\n\x0B\f\r]+` — the whitespace class is explicit rather
+    * than `\s` because Java's `\s` matches U+000B and RE2's does not; with
+    * the spelled-out class the split agrees between the two engines on
+    * EVERY input, so an oracle replays it exactly); a trailing sentence
     * keeps its final punctuation (no whitespace follows it to split on),
     * and empty/whitespace-only pieces are dropped — an empty document
     * emits no rows.
@@ -354,11 +367,11 @@ object TextAnalysis {
     */
   def splitSentences(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val sents = filter(split(col(textCol), "[.!?]+\\s+"), s => length(s) > 0)
+    val sents = filter(split(col(textCol), "[.!?]+[ \\t\\n\\x0B\\f\\r]+"),
+      s => length(s) > 0)
     docs
       .select(col(idCol).as("doc_id"), posexplode(sents).as(Seq("sent_id", "sentence")))
-      .withColumn("n_words",
-        size(filter(split(col("sentence"), "\\s+"), w => length(w) > 0)))
+      .withColumn("n_words", size(words(col("sentence"))))
   }
 
   /** Characteristic terms per document — a FLOAT-FREE tf-idf: each
@@ -442,6 +455,7 @@ object TextAnalysis {
     */
   def unigramSurprisal(docs: DataFrame, vocabSize: Int = 4096,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
     val ws = words(col(textCol))
