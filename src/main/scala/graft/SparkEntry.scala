@@ -647,6 +647,27 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "surprisal_sum", "surprisal_c100",
           "ppl_bucket")),
 
+    // leakage-safe deterministic splits: every doc of a source lands in
+    // the same split (split = pure function of md5(source))
+    "q78_assign_splits" -> ((s, dir) =>
+      Sampling.assignSplits(
+        s.read.parquet(s"$dir/documents.parquet"),
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125),
+        coherenceCol = "source")
+        .select("doc_id", "source", "split")),
+
+    // the audit that motivates q78's coherence key: per-DOCUMENT splits
+    // over the near-dup universe leak mutated twins across splits
+    "q79_split_leakage" -> ((s, dir) => {
+      val uni = dedupUniverse(s, dir)
+      val assign = Sampling.assignSplits(uni,
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125),
+        coherenceCol = "doc_id")
+      Dedup.crossSplitLeakage(
+        Dedup.ngramJaccardPairs(uni).select("doc_a", "doc_b"),
+        assign.select("doc_id", "split"))
+    }),
+
     // corpus datacard: one-row release summary, all integers
     "q74_corpus_card" -> ((s, dir) =>
       TextAnalysis.corpusCard(s.read.parquet(s"$dir/documents.parquet"))
@@ -1565,6 +1586,34 @@ object SparkEntry {
                       WHEN surprisal_c100 * 4 <= (SELECT maxs FROM tot) * 300 THEN 'mid'
                       ELSE 'rare' END AS ppl_bucket
           FROM sc""",
+
+    // identical hash intervals: md5(source) 32-bit prefix against the
+    // cumulative binary-exact thresholds (0.75 / 0.875 of 2^32)
+    "q78_assign_splits" ->
+      """SELECT doc_id, source,
+           CASE WHEN h < 3221225472 THEN 'train'
+                WHEN h < 3758096384 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id, source,
+                 ('0x' || substr(md5(source), 1, 8))::BIGINT AS h
+               FROM documents)""",
+
+    // identical pair list (q15's jaccard SQL) x identical per-doc split
+    // hash; leaked = the two sides' splits differ
+    "q79_split_leakage" ->
+      s"""WITH pairs AS ($jaccardPairsSql),
+          asg AS (SELECT doc_id,
+                    CASE WHEN h < 3221225472 THEN 'train'
+                         WHEN h < 3758096384 THEN 'val'
+                         ELSE 'test' END AS split
+                  FROM (SELECT doc_id,
+                          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
+                        FROM $dedupUniverseSql u))
+          SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b
+          FROM pairs p
+          JOIN asg a ON a.doc_id = p.doc_a
+          JOIN asg b ON b.doc_id = p.doc_b
+          WHERE a.split <> b.split""",
 
     // identical one-pass totals (sums cast: DuckDB sums to HUGEINT)
     "q74_corpus_card" ->

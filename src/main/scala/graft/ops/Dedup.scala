@@ -553,6 +553,31 @@ object Dedup {
     resolved.unionByName(singletons)
   }
 
+  /** Cross-split near-duplicate leakage audit: given a near-dup pair list
+    * (from [[ngramJaccardPairs]], [[minhashLsh]] or [[embeddingNearDup]])
+    * and a split assignment ([[graft.ops.Sampling.assignSplits]]), report
+    * every pair whose two sides landed in DIFFERENT splits — each such pair
+    * is evaluation contamination (the model trains on a near-copy of an
+    * eval document). The fix the audit motivates is assigning splits by a
+    * coherence key (domain) instead of per-document; this operator is the
+    * measurement that proves whether a split is leak-free.
+    *
+    * Scale shape: two equi-joins keyed on the pair's two doc ids — each
+    * keyed on a UNIQUE id so neither join skews, and the pair side is the
+    * (bounded) near-dup candidate list, which AQE broadcasts when small.
+    * One codegen'd inequality filter; no window, no aggregation.
+    *
+    * Output: (doc_a, doc_b, split_a, split_b), leaked pairs only.
+    */
+  def crossSplitLeakage(pairs: DataFrame, assign: DataFrame,
+      idCol: String = "doc_id", splitCol: String = "split"): DataFrame = {
+    val a = assign.select(col(idCol).as("doc_a"), col(splitCol).as("split_a"))
+    val b = assign.select(col(idCol).as("doc_b"), col(splitCol).as("split_b"))
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"))
+  }
+
   /** Exact word-n-gram Jaccard of two texts (pure). */
   def jaccard(ta: String, tb: String, n: Int = 3): Double = {
     def sh(t: String): Set[String] = {

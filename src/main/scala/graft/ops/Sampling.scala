@@ -79,6 +79,45 @@ object Sampling {
     df.filter(thr.isNotNull && hash32 < thr)
   }
 
+  /** Leakage-safe deterministic train/val/test split assignment: every row
+    * whose `coherenceCol` value matches lands in the SAME split, because
+    * the split is a pure function of that value's md5 hash alone — the
+    * standard guard against cross-split contamination from same-site
+    * boilerplate and templated near-duplicates (split by document and a
+    * mirror page trains on the eval set; split by domain and it cannot).
+    * Splitting by document is the degenerate `coherenceCol = idCol` case —
+    * exactly what [[graft.ops.Dedup.crossSplitLeakage]] audits.
+    *
+    * `splits` are ordered (name, share) pairs carving [0, 2^32) into
+    * cumulative intervals; binary-exact shares (0.75/0.125/0.125) keep the
+    * integer thresholds engine-exact so a SQL oracle replays the CASE
+    * bit-for-bit. Shares must sum to 1; the last split absorbs the top of
+    * the range, so no hash value is ever unassigned.
+    *
+    * Scale shape: one codegen'd CASE over an md5 prefix — map-only, zero
+    * shuffle, no driver state; assignment survives re-runs AND corpus
+    * extensions unchanged (a new document of a known domain joins that
+    * domain's existing split).
+    */
+  def assignSplits(df: DataFrame, splits: Seq[(String, Double)],
+      coherenceCol: String = "source", splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0.0),
+      "need at least one split with a positive share")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-12,
+      "split shares must sum to 1")
+    val hash32 = conv(substring(md5(col(coherenceCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * 4294967296.0))
+    // nested CASE, first matching interval wins; last split is the
+    // `otherwise` so rounding at the top boundary cannot drop a row
+    val assigned = splits.map(_._1).zip(thresholds).init.reverse
+      .foldLeft(lit(splits.last._1): org.apache.spark.sql.Column) {
+        case (acc, (name, thr)) => when(hash32 < lit(thr), lit(name)).otherwise(acc)
+      }
+    df.withColumn(splitCol, assigned)
+  }
+
   /** Deterministic EXACT-size per-group sample: exactly `min(k, |group|)`
     * rows per group, the k smallest by `md5(id)` — a uniform pseudo-random
     * but reproducible pick ("give me 10k eval docs per language", seed-free

@@ -1149,4 +1149,69 @@ class OpsSpec extends AnyFunSuite {
     val plan = Sampling.chunkDocs(docs, 4, 3).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"shuffle in chunkDocs plan:\n$plan")
   }
+
+  test("assignSplits: coherence, JVM-replayed hash intervals, no shuffle") {
+    import spark.implicits._
+    val docs = (0 until 400).map(i => (i.toLong, s"site${i % 37}.example"))
+      .toDF("doc_id", "source")
+    val out = Sampling.assignSplits(docs,
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .select("doc_id", "source", "split").as[(Long, String, String)].collect()
+    // every row of a source lands in ONE split (leakage-safety invariant)
+    assert(out.groupBy(_._2).forall(_._2.map(_._3).distinct.length == 1))
+    // replay the interval arithmetic independently with JVM md5
+    def expected(src: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(src.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.take(8), 16)
+      if (h < 3221225472L) "train" else if (h < 3758096384L) "val" else "test"
+    }
+    out.foreach { case (_, src, split) => assert(split == expected(src), src) }
+    // all three splits actually occur across 37 domains
+    assert(out.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "val"))
+    // map-only: a single codegen'd CASE, no shuffle
+    val plan = Sampling.assignSplits(docs, Seq("a" -> 0.5, "b" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in assignSplits plan:\n$plan")
+    // invalid shares fail fast
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, Seq("a" -> 0.5, "b" -> 0.25))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, Seq.empty)
+    }
+  }
+
+  test("crossSplitLeakage: only pairs straddling splits survive") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val assign = Seq(
+      (1L, "train"), (2L, "val"),   // leaked
+      (3L, "train"), (4L, "train"), // same split - fine
+      (5L, "test"), (6L, "train")   // leaked
+    ).toDF("doc_id", "split")
+    val out = Dedup.crossSplitLeakage(pairs, assign)
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(out == Set((1L, 2L, "train", "val"), (5L, 6L, "test", "train")))
+  }
+
+  test("crossSplitLeakage: domain-coherent splits leak nothing, per-doc splits do") {
+    import spark.implicits._
+    // near-dup twins always share the domain (the real-world shape: a
+    // mirror page lives on the same or a sister site)
+    val docs = (0 until 50).flatMap { i =>
+      val text = (0 until 30).map(j => s"w${i}_$j").mkString(" ")
+      Seq((i.toLong, s"site$i.example", text),
+        (i + 1000L, s"site$i.example", text.split(" ").dropRight(1).mkString(" ")))
+    }.toDF("doc_id", "source", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs).select("doc_a", "doc_b")
+    val byDomain = Sampling.assignSplits(docs,
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125),
+      coherenceCol = "source").select("doc_id", "split")
+    assert(Dedup.crossSplitLeakage(pairs, byDomain).isEmpty)
+    val byDoc = Sampling.assignSplits(docs,
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125),
+      coherenceCol = "doc_id").select("doc_id", "split")
+    assert(Dedup.crossSplitLeakage(pairs, byDoc).count() > 0)
+  }
 }
