@@ -668,6 +668,25 @@ object SparkEntry {
         assign.select("doc_id", "split"))
     }),
 
+    // span-aware PII scrub over the interleaved model: PII planted into the
+    // NOTES span (offset 3), redacted in place; media spans + offsets
+    // untouched; n_pii counted over the original text spans
+    "q80_scrub_spans" -> ((s, dir) => {
+      val planted = extractFmt(s, dir, Seq(3, 4)).withColumn("spans",
+        transform(col("spans"), sp => struct(
+          sp("kind").as("kind"),
+          when(sp("kind") === "text" && sp("offset") === 3,
+            concat(lit("contact bob@example.com from 10.0.0.1 card 4111111111111111 "),
+              sp("text"))).otherwise(sp("text")).as("text"),
+          sp("media_ref").as("media_ref"),
+          sp("offset").as("offset"))))
+      Multimodal.scrubSpans(planted)
+        .select(col("doc_id"), col("n_pii"), posexplode(col("spans")).as(Seq("pos", "sp")))
+        .select(col("doc_id"), col("sp.offset").as("span_offset"),
+          col("sp.kind").as("kind"), col("sp.text").as("text"),
+          col("sp.media_ref").as("media_ref"), col("n_pii"))
+    }),
+
     // corpus datacard: one-row release summary, all integers
     "q74_corpus_card" -> ((s, dir) =>
       TextAnalysis.corpusCard(s.read.parquet(s"$dir/documents.parquet"))
@@ -751,6 +770,38 @@ object SparkEntry {
 
   private def xmlFulltext =
     s"'I. INTRODUCTION ' || $C || ' Manual Entry 1 TABLE ' || $K || '. CAP ' || $K || ' NOTES ' || $K || chr(10) || 'APPENDIX ' || $K || ' APP ' || $W0"
+
+  // oracle-side mirrors of ops.TextAnalysis's PII patterns + chain (q39/q80)
+  private val PiiEmail = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PiiIpv4 = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"""
+  private val PiiIpv6 = """\b[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){7}\b"""
+  private val PiiPhone = """\+[0-9]{1,2} [0-9]{3} [0-9]{4}"""
+  private val PiiCard = """\b[0-9]{13,16}\b"""
+  private val LuhnDigit =
+    """CASE WHEN i % 2 = 0
+         THEN CASE WHEN substr(c, (len(c)-i+1)::INT, 1)::INT * 2 > 9
+                   THEN substr(c, (len(c)-i+1)::INT, 1)::INT * 2 - 9
+                   ELSE substr(c, (len(c)-i+1)::INT, 1)::INT * 2 END
+         ELSE substr(c, (len(c)-i+1)::INT, 1)::INT END"""
+
+  /** the scrubPii chain over any SQL string expression (order matters) */
+  private def scrubSql(e: String) =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace($e,
+        '$PiiEmail', '<EMAIL>', 'g'),
+        '$PiiIpv6', '<IPV6>', 'g'),
+        '$PiiIpv4', '<IP>', 'g'),
+        '$PiiPhone', '<PHONE>', 'g'),
+        '$PiiCard', '<CARD>', 'g')"""
+
+  /** the piiCount total (cards Luhn-gated) over any SQL string expression */
+  private def piiCountSql(e: String) =
+    s"""(len(regexp_extract_all($e, '$PiiEmail'))
+       + len(regexp_extract_all($e, '$PiiIpv4'))
+       + len(regexp_extract_all($e, '$PiiIpv6'))
+       + len(regexp_extract_all($e, '$PiiPhone'))
+       + len(list_filter(regexp_extract_all($e, '$PiiCard'),
+           c -> list_sum(list_transform(generate_series(1, len(c)),
+                  i -> $LuhnDigit)) % 10 = 0)))"""
 
   private def elsevierFulltext =
     s"'1 Introduction ' || $C || ' Acknowledgments THANK YOU ' || source || ' Appendix A APP ' || $W0"
@@ -1014,18 +1065,7 @@ object SparkEntry {
     // ipv4 -> phone -> card redaction order; n_cards applies the SAME Luhn
     // post-filter (double every second digit from the right, -9 on
     // overflow, sum % 10 == 0) as TextAnalysis.luhnValid
-    "q39_pii_scrub" -> {
-      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-      val ipv4 = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"""
-      val ipv6 = """\b[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){7}\b"""
-      val phone = """\+[0-9]{1,2} [0-9]{3} [0-9]{4}"""
-      val card = """\b[0-9]{13,16}\b"""
-      val luhnDigit =
-        """CASE WHEN i % 2 = 0
-             THEN CASE WHEN substr(c, (len(c)-i+1)::INT, 1)::INT * 2 > 9
-                       THEN substr(c, (len(c)-i+1)::INT, 1)::INT * 2 - 9
-                       ELSE substr(c, (len(c)-i+1)::INT, 1)::INT * 2 END
-             ELSE substr(c, (len(c)-i+1)::INT, 1)::INT END"""
+    "q39_pii_scrub" ->
       s"""WITH p AS (
             SELECT doc_id, CASE WHEN doc_id % 7 = 0
               THEN text || ' reach user' || doc_id::VARCHAR ||
@@ -1036,21 +1076,15 @@ object SparkEntry {
               ELSE text END AS t
             FROM documents)
           SELECT doc_id,
-            len(regexp_extract_all(t, '$email')) AS n_emails,
-            len(regexp_extract_all(t, '$ipv4')) AS n_ipv4,
-            len(regexp_extract_all(t, '$ipv6')) AS n_ipv6,
-            len(regexp_extract_all(t, '$phone')) AS n_phones,
-            len(list_filter(regexp_extract_all(t, '$card'),
+            len(regexp_extract_all(t, '$PiiEmail')) AS n_emails,
+            len(regexp_extract_all(t, '$PiiIpv4')) AS n_ipv4,
+            len(regexp_extract_all(t, '$PiiIpv6')) AS n_ipv6,
+            len(regexp_extract_all(t, '$PiiPhone')) AS n_phones,
+            len(list_filter(regexp_extract_all(t, '$PiiCard'),
               c -> list_sum(list_transform(generate_series(1, len(c)),
-                     i -> $luhnDigit)) % 10 = 0)) AS n_cards,
-            regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-              '$email', '<EMAIL>', 'g'),
-              '$ipv6', '<IPV6>', 'g'),
-              '$ipv4', '<IP>', 'g'),
-              '$phone', '<PHONE>', 'g'),
-              '$card', '<CARD>', 'g') AS text_scrubbed
-          FROM p"""
-    },
+                     i -> $LuhnDigit)) % 10 = 0)) AS n_cards,
+            ${scrubSql("t")} AS text_scrubbed
+          FROM p""",
 
     // identical 4-word line derivation (1-based inclusive list slices
     // truncate at the end in both engines); integer stats; same CASE order
@@ -1614,6 +1648,26 @@ object SparkEntry {
           JOIN asg a ON a.doc_id = p.doc_a
           JOIN asg b ON b.doc_id = p.doc_b
           WHERE a.split <> b.split""",
+
+    // q08's closed-form spans with the same plant on span 3, the same
+    // scrub chain replayed over every text span, and the Luhn-gated count
+    // totalled over the original (planted) text spans
+    "q80_scrub_spans" ->
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id % 10 IN (3, 4)),
+          t AS (SELECT $K AS doc_id,
+                  'I. INTRODUCTION ' || $C || ' Manual Entry 1 TABLE ' || $K || '. CAP ' || $K AS s0,
+                  'contact bob@example.com from 10.0.0.1 card 4111111111111111 NOTES ' || $K AS s3,
+                  'APPENDIX ' || $K || ' APP ' || $W0 AS s4
+                FROM d),
+          n AS (SELECT doc_id, s0, s3, s4,
+                  ${piiCountSql("s0")} + ${piiCountSql("s3")} + ${piiCountSql("s4")} AS n_pii
+                FROM t)
+          SELECT doc_id, 0 AS span_offset, 'text' AS kind,
+                 ${scrubSql("s0")} AS text, NULL AS media_ref, n_pii FROM n
+          UNION ALL SELECT doc_id, 1, 'media', NULL, 'fig' || doc_id || 'a.gif', n_pii FROM n
+          UNION ALL SELECT doc_id, 2, 'media', NULL, 'fig' || doc_id || 'b.gif', n_pii FROM n
+          UNION ALL SELECT doc_id, 3, 'text', ${scrubSql("s3")}, NULL, n_pii FROM n
+          UNION ALL SELECT doc_id, 4, 'text', ${scrubSql("s4")}, NULL, n_pii FROM n""",
 
     // identical one-pass totals (sums cast: DuckDB sums to HUGEINT)
     "q74_corpus_card" ->

@@ -185,4 +185,34 @@ object Multimodal {
       .filter(col("kind") === "media")
       .select(col("doc_id"), col("media_ref"), col("caption"))
   }
+
+  /** Span-aware PII scrub over the interleaved model: redact
+    * [[graft.ops.TextAnalysis.scrubPii]]'s five classes inside TEXT spans
+    * while leaving media spans, span order, and offsets untouched — the
+    * release-time privacy pass a multimodal corpus needs, where scrubbing
+    * the RENDERED text would orphan the media positions (the sentinel
+    * indices into the parallel payload table must survive). Also emits
+    * `n_pii`, the Luhn-gated total hit count over the original text spans,
+    * so a filtering stage can quarantine PII-dense documents instead of
+    * (or in addition to) redacting them.
+    *
+    * Scale shape: pure column expressions over the spans array (one
+    * `transform` rebuilding the structs + one `aggregate` for the count) —
+    * a map-only codegen'd projection, no explode, no shuffle, no per-row
+    * state; cost is O(total span text) per document at any corpus size.
+    */
+  def scrubSpans(extracted: DataFrame, spansCol: String = "spans"): DataFrame = {
+    val spans = col(spansCol)
+    extracted
+      .withColumn("n_pii", aggregate(spans, lit(0),
+        (acc, s) => acc + when(s("kind") === "text" && s("text").isNotNull,
+          TextAnalysis.piiCount(s("text"))).otherwise(lit(0))))
+      .withColumn(spansCol, transform(spans, s =>
+        struct(
+          s("kind").as("kind"),
+          when(s("kind") === "text", TextAnalysis.scrubPii(s("text")))
+            .otherwise(s("text")).as("text"),
+          s("media_ref").as("media_ref"),
+          s("offset").as("offset"))))
+  }
 }

@@ -147,17 +147,36 @@ object TextAnalysis {
       .withColumn("n_phones", size(regexp_extract_all(t, lit(PhoneRe), lit(0))))
       .withColumn("n_cards",
         size(filter(regexp_extract_all(t, lit(CardRe), lit(0)), c => luhnValid(c))))
-      .withColumn("text_scrubbed",
+      .withColumn("text_scrubbed", scrubPii(t))
+  }
+
+  /** The redaction chain shared by [[piiScrub]] (whole documents) and
+    * [[graft.ops.Multimodal.scrubSpans]] (interleaved text spans) —
+    * replacement order matters (IPv6 before IPv4: an IPv6 group sequence
+    * must not be eaten group-wise by the IPv4 pattern). Card redaction is
+    * deliberately unconditional (counting is Luhn-gated, scrubbing is
+    * conservative), mirroring the oracle's chain exactly.
+    */
+  private[ops] def scrubPii(t: Column): Column =
+    regexp_replace(
+      regexp_replace(
         regexp_replace(
           regexp_replace(
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(t, EmailRe, "<EMAIL>"),
-                Ipv6Re, "<IPV6>"),
-              Ipv4Re, "<IP>"),
-            PhoneRe, "<PHONE>"),
-          CardRe, "<CARD>"))
-  }
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            Ipv6Re, "<IPV6>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>"),
+      CardRe, "<CARD>")
+
+  /** Total PII hit count of [[scrubPii]]'s five classes (cards Luhn-gated,
+    * like [[piiScrub]]'s n_cards).
+    */
+  private[ops] def piiCount(t: Column): Column =
+    size(regexp_extract_all(t, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))) +
+      size(regexp_extract_all(t, lit(Ipv6Re), lit(0))) +
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))) +
+      size(filter(regexp_extract_all(t, lit(CardRe), lit(0)), c => luhnValid(c)))
 
   /** C4-style document filters (Raffel et al. 2020 §2.2's heuristics,
     * restated over a single-line corpus): integer-valued features — word

@@ -1195,6 +1195,33 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L, "train", "val"), (5L, 6L, "test", "train")))
   }
 
+  test("scrubSpans: text spans redacted in place, media spans and offsets untouched") {
+    import spark.implicits._
+    val spans = Seq(
+      ("text", "mail bob@x.example or call +1 555 0142 now", null, 0),
+      ("media", null, "img0.png", 1),
+      ("text", "from 10.0.0.1 card 4111111111111111 end", null, 2),
+      ("text", "clean text, no pii", null, 3))
+    val docs = Seq(("d1", spans)).toDF("doc_id", "raw")
+      .withColumn("spans", transform(col("raw"), s => struct(
+        s("_1").as("kind"), s("_2").as("text"),
+        s("_3").as("media_ref"), s("_4").as("offset"))))
+      .select("doc_id", "spans")
+    val out = Multimodal.scrubSpans(docs)
+      .select(col("doc_id"), col("n_pii"), explode(col("spans")).as("s"))
+      .select(col("s.kind"), col("s.text"), col("s.media_ref"), col("s.offset"),
+        col("n_pii"))
+      .as[(String, String, String, Int, Int)].collect().toSeq
+    assert(out == Seq(
+      ("text", "mail <EMAIL> or call <PHONE> now", null, 0, 4),
+      ("media", null, "img0.png", 1, 4),
+      ("text", "from <IP> card <CARD> end", null, 2, 4),
+      ("text", "clean text, no pii", null, 3, 4)))
+    // map-only: no shuffle in the plan
+    val plan = Multimodal.scrubSpans(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in scrubSpans plan:\n$plan")
+  }
+
   test("crossSplitLeakage: domain-coherent splits leak nothing, per-doc splits do") {
     import spark.implicits._
     // near-dup twins always share the domain (the real-world shape: a
