@@ -757,10 +757,12 @@ object SparkEntry {
 
   /** cleaned text: whitespace-collapse + drop >=100-char tokens (the E8
     * kernel restricted to the ASCII synthetic corpus, where NFKC/translate
-    * are identities).
+    * are identities). The whitespace class is explicit like WORDS' (RE2 \s
+    * omits U+000B); the kernel's full Python-style predicate additionally
+    * covers non-ASCII whitespace the synthetic corpus never contains.
     */
   private val C =
-    """array_to_string(list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0 AND len(w) < 100), ' ')"""
+    """array_to_string(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), w -> len(w) > 0 AND len(w) < 100), ' ')"""
   private val K = "printf('D%09d', doc_id)"
   private val W0 = "split_part(text, ' ', 1)"
   // the oracle-side mirror of ops.TextAnalysis.words — whitespace class is
@@ -1625,7 +1627,8 @@ object SparkEntry {
     // cumulative binary-exact thresholds (0.75 / 0.875 of 2^32)
     "q78_assign_splits" ->
       """SELECT doc_id, source,
-           CASE WHEN h < 3221225472 THEN 'train'
+           CASE WHEN source IS NULL THEN NULL
+                WHEN h < 3221225472 THEN 'train'
                 WHEN h < 3758096384 THEN 'val'
                 ELSE 'test' END AS split
          FROM (SELECT doc_id, source,

@@ -567,15 +567,17 @@ object Dedup {
     * (bounded) near-dup candidate list, which AQE broadcasts when small.
     * One codegen'd inequality filter; no window, no aggregation.
     *
-    * Output: (doc_a, doc_b, split_a, split_b), leaked pairs only.
+    * Output: (aCol, bCol, split_a, split_b), leaked pairs only — the
+    * split_a/split_b names are fixed regardless of `splitCol`.
     */
   def crossSplitLeakage(pairs: DataFrame, assign: DataFrame,
-      idCol: String = "doc_id", splitCol: String = "split"): DataFrame = {
-    val a = assign.select(col(idCol).as("doc_a"), col(splitCol).as("split_a"))
-    val b = assign.select(col(idCol).as("doc_b"), col(splitCol).as("split_b"))
-    pairs.join(a, "doc_a").join(b, "doc_b")
+      idCol: String = "doc_id", splitCol: String = "split",
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val a = assign.select(col(idCol).as(aCol), col(splitCol).as("split_a"))
+    val b = assign.select(col(idCol).as(bCol), col(splitCol).as("split_b"))
+    pairs.join(a, aCol).join(b, bCol)
       .filter(col("split_a") =!= col("split_b"))
-      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"))
+      .select(col(aCol), col(bCol), col("split_a"), col("split_b"))
   }
 
   /** Exact word-n-gram Jaccard of two texts (pure). */

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -11,6 +11,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * cross-engine oracle-checkable.
   */
 object Sampling {
+
+  /** The 32-bit md5-prefix hash every deterministic-membership operator in
+    * this object keys on ([[stratifiedSample]], [[mixtureSample]],
+    * [[assignSplits]], [[upsampleEpochs]]) — and the exact expression the
+    * DuckDB oracles replay as `('0x' || substr(md5(x), 1, 8))::BIGINT`.
+    * One definition so a change cannot skew one operator's oracle while
+    * the others keep passing.
+    */
+  private def hash32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
   /** Deterministic stratified Bernoulli sample: keep a row iff the first
     * 32 md5 bits of its id fall below `fraction(stratum) * 2^32`. Strata
@@ -30,11 +40,10 @@ object Sampling {
     require(fractions.values.forall(f => f >= 0.0 && f <= 1.0) &&
       defaultFraction >= 0.0 && defaultFraction <= 1.0,
       "fractions must be in [0, 1]")
-    val hash32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val h32 = hash32(col(idCol))
     val frac = coalesce(
       element_at(typedLit(fractions), col(strataCol)), lit(defaultFraction))
-    df.filter(hash32 < (frac * lit(4294967296L)).cast("long"))
+    df.filter(h32 < (frac * lit(4294967296L)).cast("long"))
   }
 
   /** Domain-mixture rebalancing: downsample groups (languages, domains,
@@ -73,10 +82,9 @@ object Sampling {
       val rate = if (c == 0) 0.0 else math.min(1.0, s * nOut / c)
       (g, math.floor(rate * 4294967296.0).toLong)
     }
-    val hash32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val h32 = hash32(col(idCol))
     val thr = element_at(typedLit(thresholds), col(groupCol))
-    df.filter(thr.isNotNull && hash32 < thr)
+    df.filter(thr.isNotNull && h32 < thr)
   }
 
   /** Leakage-safe deterministic train/val/test split assignment: every row
@@ -98,6 +106,11 @@ object Sampling {
     * shuffle, no driver state; assignment survives re-runs AND corpus
     * extensions unchanged (a new document of a known domain joins that
     * domain's existing split).
+    *
+    * A NULL coherence value gets a NULL split — visible and filterable —
+    * rather than silently riding the CASE's otherwise-branch into the last
+    * (usually eval) split, which would inflate it with a correlated
+    * unknown-domain subpopulation.
     */
   def assignSplits(df: DataFrame, splits: Seq[(String, Double)],
       coherenceCol: String = "source", splitCol: String = "split"): DataFrame = {
@@ -105,17 +118,17 @@ object Sampling {
       "need at least one split with a positive share")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-12,
       "split shares must sum to 1")
-    val hash32 = conv(substring(md5(col(coherenceCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val h32 = hash32(col(coherenceCol))
     val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(c => math.round(c * 4294967296.0))
     // nested CASE, first matching interval wins; last split is the
     // `otherwise` so rounding at the top boundary cannot drop a row
     val assigned = splits.map(_._1).zip(thresholds).init.reverse
-      .foldLeft(lit(splits.last._1): org.apache.spark.sql.Column) {
-        case (acc, (name, thr)) => when(hash32 < lit(thr), lit(name)).otherwise(acc)
+      .foldLeft(lit(splits.last._1): Column) {
+        case (acc, (name, thr)) => when(h32 < lit(thr), lit(name)).otherwise(acc)
       }
-    df.withColumn(splitCol, assigned)
+    df.withColumn(splitCol,
+      when(col(coherenceCol).isNull, lit(null: String)).otherwise(assigned))
   }
 
   /** Deterministic EXACT-size per-group sample: exactly `min(k, |group|)`
@@ -175,10 +188,9 @@ object Sampling {
     val fracThr: Map[String, Long] = epochs.map { case (g, e) =>
       (g, math.floor((e - e.toInt) * 4294967296.0).toLong)
     }
-    val hash32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val h32 = hash32(col(idCol))
     val copies = coalesce(element_at(typedLit(intPart), col(groupCol)), lit(1)) +
-      when(hash32 < coalesce(element_at(typedLit(fracThr), col(groupCol)), lit(0L)),
+      when(h32 < coalesce(element_at(typedLit(fracThr), col(groupCol)), lit(0L)),
         lit(1)).otherwise(lit(0))
     df.withColumn("_copies", copies)
       .withColumn("epoch", explode(
@@ -294,6 +306,21 @@ object Sampling {
         expr(s"_off div ${budget}L").as("shard_id"))
   }
 
+  /** THE token-stream offset table: one row per non-empty document with its
+    * whitespace-token count `_w` and the exclusive prefix sum `_off` of all
+    * preceding documents' counts in md5(id) stream order. Both
+    * [[packTokenBlocks]] (the assignment map) and [[materializeBlocks]]
+    * (the block text) derive their block boundaries from THIS table — one
+    * definition, because the two outputs only correspond if the stream
+    * order, the tokenizer, and the empty-doc filter are identical.
+    */
+  private def docOffsets(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exclusivePrefixSum(
+      df.select(col(idCol), md5(col(idCol).cast("string")).as("_h"),
+        size(TextAnalysis.words(col(textCol))).cast("long").as("_w"))
+        .filter(col("_w") > 0),
+      sortCols = Seq("_h", idCol))
+
   /** GPT-style fixed-size token-block packing WITH document splitting —
     * the other standard pre-training batching scheme (vs [[packShards]]'s
     * whole-document greedy sharding): the corpus's token stream is laid
@@ -321,12 +348,7 @@ object Sampling {
   def packTokenBlocks(df: DataFrame, blockSize: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(blockSize > 0, "blockSize must be positive")
-    val ws = TextAnalysis.words(col(textCol))
-    val withOff = exclusivePrefixSum(
-      df.select(col(idCol), md5(col(idCol).cast("string")).as("_h"),
-        size(ws).cast("long").as("_w"))
-        .filter(col("_w") > 0),
-      sortCols = Seq("_h", idCol))
+    val withOff = docOffsets(df, textCol, idCol)
     // integer `div` keeps the block arithmetic exact on longs (float
     // division would round at 2^53 — real at trillion-token scale)
     val b = lit(blockSize.toLong)
@@ -371,11 +393,7 @@ object Sampling {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(blockSize > 0, "blockSize must be positive")
     val ws = TextAnalysis.words(col(textCol))
-    val offs = exclusivePrefixSum(
-      df.select(col(idCol), md5(col(idCol).cast("string")).as("_h"),
-        size(ws).cast("long").as("_w"))
-        .filter(col("_w") > 0),
-      sortCols = Seq("_h", idCol))
+    val offs = docOffsets(df, textCol, idCol)
       .select(col(idCol).as("doc_id"), col("_off"))
     val toks = df.select(col(idCol).as("doc_id"), posexplode(ws).as(Seq("p", "tok")))
     val b = lit(blockSize.toLong)

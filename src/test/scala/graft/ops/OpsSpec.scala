@@ -1180,6 +1180,12 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sampling.assignSplits(docs, Seq.empty)
     }
+    // NULL coherence -> NULL split (never silently the last/eval split)
+    val withNull = Seq((1L, "site.example"), (2L, null)).toDF("doc_id", "source")
+    val nulled = Sampling.assignSplits(withNull,
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .select("doc_id", "split").as[(Long, Option[String])].collect().toMap
+    assert(nulled(1L).isDefined && nulled(2L).isEmpty)
   }
 
   test("crossSplitLeakage: only pairs straddling splits survive") {
