@@ -687,6 +687,15 @@ object SparkEntry {
           col("sp.media_ref").as("media_ref"), col("n_pii"))
     }),
 
+    // per-source exact-dup stats over a universe with planted clone
+    // families (every 5th doc duplicated into its own source)
+    "q81_source_dup_stats" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source", "text")
+      val clones = base.filter(col("doc_id") % 5 === 0)
+      WebOps.sourceDupStats(base.unionAll(clones))
+    }),
+
     // corpus datacard: one-row release summary, all integers
     "q74_corpus_card" -> ((s, dir) =>
       TextAnalysis.corpusCard(s.read.parquet(s"$dir/documents.parquet"))
@@ -1671,6 +1680,20 @@ object SparkEntry {
           UNION ALL SELECT doc_id, 2, 'media', NULL, 'fig' || doc_id || 'b.gif', n_pii FROM n
           UNION ALL SELECT doc_id, 3, 'text', ${scrubSql("s3")}, NULL, n_pii FROM n
           UNION ALL SELECT doc_id, 4, 'text', ${scrubSql("s4")}, NULL, n_pii FROM n""",
+
+    // identical clone plant + two-level aggregation over (source, md5(text))
+    "q81_source_dup_stats" ->
+      """WITH uni AS (SELECT source, text FROM documents
+                      UNION ALL
+                      SELECT source, text FROM documents WHERE doc_id % 5 = 0),
+          g AS (SELECT source, md5(text) AS h, count(*) AS c
+                FROM uni GROUP BY 1, 2)
+          SELECT source,
+                 sum(c)::BIGINT AS n_docs,
+                 count(*) AS n_distinct_texts,
+                 sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS n_dup_docs,
+                 max(c)::BIGINT AS max_copies
+          FROM g GROUP BY source""",
 
     // identical one-pass totals (sums cast: DuckDB sums to HUGEINT)
     "q74_corpus_card" ->

@@ -101,4 +101,35 @@ object WebOps {
       .agg(min(struct(ordered.map(col): _*)).as("_row"))
       .select(col("canon_url") +: rest.map(c => col(s"_row.$c").as(c)): _*)
   }
+
+  /** Per-source exact-duplicate statistics — the template/boilerplate
+    * signal a crawl-curation dashboard ranks domains by: a source whose
+    * pages hash to few distinct texts is a mirror farm or a templated
+    * catalog, and its keep-quota should shrink accordingly. For each
+    * source: total docs, distinct text hashes, docs that share their text
+    * with at least one other doc OF THE SAME SOURCE, and the largest
+    * single clone family. Complements [[graft.ops.Dedup.exact]] (which
+    * dedups the corpus) by LOCALIZING duplication to its origin.
+    *
+    * Scale shape: two aggregations, both with map-side partial combine —
+    * first on the high-cardinality (source, md5(text)) pair key (no skew:
+    * even a mega-domain spreads over its distinct texts), then on source
+    * over the PRE-AGGREGATED one-row-per-distinct-text stream, where
+    * sum/count/max buffers are O(1) per key per task. No window, no join,
+    * no driver state.
+    *
+    * Output: (source, n_docs, n_distinct_texts, n_dup_docs, max_copies).
+    */
+  def sourceDupStats(docs: DataFrame, textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    docs
+      .select(col(srcCol).as("source"), md5(col(textCol)).as("_h"))
+      .groupBy("source", "_h").agg(count(lit(1)).as("_c"))
+      .groupBy("source")
+      .agg(
+        sum("_c").as("n_docs"),
+        count(lit(1)).as("n_distinct_texts"),
+        sum(when(col("_c") > 1, col("_c")).otherwise(lit(0L))).as("n_dup_docs"),
+        max("_c").as("max_copies"))
+  }
 }

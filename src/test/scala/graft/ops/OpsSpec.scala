@@ -1228,6 +1228,25 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"shuffle in scrubSpans plan:\n$plan")
   }
 
+  test("sourceDupStats: clone families localized to their source") {
+    import spark.implicits._
+    val docs = Seq(
+      ("mirror.example", "same text"),
+      ("mirror.example", "same text"),
+      ("mirror.example", "same text"),
+      ("mirror.example", "unique a"),
+      ("healthy.example", "unique b"),
+      ("healthy.example", "unique c"),
+      // identical text on ANOTHER source is NOT a within-source dup
+      ("healthy.example", "same text")
+    ).toDF("source", "text")
+    val out = WebOps.sourceDupStats(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("mirror.example", 4L, 2L, 3L, 3L),
+      ("healthy.example", 3L, 3L, 0L, 1L)))
+  }
+
   test("crossSplitLeakage: domain-coherent splits leak nothing, per-doc splits do") {
     import spark.implicits._
     // near-dup twins always share the domain (the real-world shape: a
