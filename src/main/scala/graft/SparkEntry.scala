@@ -1687,7 +1687,7 @@ object SparkEntry {
                       UNION ALL
                       SELECT source, text FROM documents WHERE doc_id % 5 = 0),
           g AS (SELECT source, md5(text) AS h, count(*) AS c
-                FROM uni GROUP BY 1, 2)
+                FROM uni WHERE text IS NOT NULL GROUP BY 1, 2)
           SELECT source,
                  sum(c)::BIGINT AS n_docs,
                  count(*) AS n_distinct_texts,

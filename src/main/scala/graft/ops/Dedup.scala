@@ -573,9 +573,12 @@ object Dedup {
   def crossSplitLeakage(pairs: DataFrame, assign: DataFrame,
       idCol: String = "doc_id", splitCol: String = "split",
       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    // a prior audit's output can be re-audited: stale split_a/split_b on
+    // the pair side would make the join output ambiguous, so drop them
+    val p = pairs.drop("split_a", "split_b")
     val a = assign.select(col(idCol).as(aCol), col(splitCol).as("split_a"))
     val b = assign.select(col(idCol).as(bCol), col(splitCol).as("split_b"))
-    pairs.join(a, aCol).join(b, bCol)
+    p.join(a, aCol).join(b, bCol)
       .filter(col("split_a") =!= col("split_b"))
       .select(col(aCol), col(bCol), col("split_a"), col("split_b"))
   }

@@ -118,11 +118,18 @@ object WebOps {
     * sum/count/max buffers are O(1) per key per task. No window, no join,
     * no driver state.
     *
+    * NULL-text rows are EXCLUDED: md5(NULL) is NULL, and grouping would
+    * fuse every failed extraction of a source into one giant fake clone
+    * family — a healthy domain with many error rows must not read as a
+    * mirror farm. (Count error rows separately; they are not "pages that
+    * share their text".)
+    *
     * Output: (source, n_docs, n_distinct_texts, n_dup_docs, max_copies).
     */
   def sourceDupStats(docs: DataFrame, textCol: String = "text",
       srcCol: String = "source"): DataFrame = {
     docs
+      .filter(col(textCol).isNotNull)
       .select(col(srcCol).as("source"), md5(col(textCol)).as("_h"))
       .groupBy("source", "_h").agg(count(lit(1)).as("_c"))
       .groupBy("source")

@@ -1238,7 +1238,10 @@ class OpsSpec extends AnyFunSuite {
       ("healthy.example", "unique b"),
       ("healthy.example", "unique c"),
       // identical text on ANOTHER source is NOT a within-source dup
-      ("healthy.example", "same text")
+      ("healthy.example", "same text"),
+      // NULL-text rows (failed extractions) never form a clone family
+      ("healthy.example", null),
+      ("healthy.example", null)
     ).toDF("source", "text")
     val out = WebOps.sourceDupStats(docs)
       .as[(String, Long, Long, Long, Long)].collect().toSet
