@@ -696,6 +696,22 @@ object SparkEntry {
       WebOps.sourceDupStats(base.unionAll(clones))
     }),
 
+    // corpus snapshot diff: v2 drops every 7th doc, edits every 5th
+    // survivor, adds a re-keyed clone of every 11th
+    "q82_corpus_diff" -> ((s, dir) => {
+      val v1 = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionAll(v1.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      TextAnalysis.corpusDiff(v1, v2)
+    }),
+
+    // per-language token budgets (integer volumes for mixture planning)
+    "q83_lang_token_budget" -> ((s, dir) =>
+      TextAnalysis.langTokenBudget(s.read.parquet(s"$dir/documents.parquet"))),
+
     // corpus datacard: one-row release summary, all integers
     "q74_corpus_card" -> ((s, dir) =>
       TextAnalysis.corpusCard(s.read.parquet(s"$dir/documents.parquet"))
@@ -1694,6 +1710,31 @@ object SparkEntry {
                  sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS n_dup_docs,
                  max(c)::BIGINT AS max_copies
           FROM g GROUP BY source""",
+
+    // identical v2 derivation + full-outer join with null-safe hash compare
+    "q82_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents),
+          n0 AS (SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+                 FROM documents WHERE doc_id % 7 <> 0
+                 UNION ALL
+                 SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
+          n AS (SELECT doc_id, md5(text) AS h FROM n0)
+          SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                 CASE WHEN o.doc_id IS NULL THEN 'added'
+                      WHEN n.doc_id IS NULL THEN 'removed'
+                      WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
+
+    // identical integer volumes; same explicit whitespace class + BPE regex
+    "q83_lang_token_budget" ->
+      s"""SELECT lang, count(*) AS n_docs,
+            sum(len(text))::BIGINT AS n_chars,
+            sum(len($WORDS))::BIGINT AS n_ws_tokens,
+            sum(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')))::BIGINT AS n_bpe_tokens
+          FROM documents GROUP BY lang""",
 
     // identical one-pass totals (sums cast: DuckDB sums to HUGEINT)
     "q74_corpus_card" ->

@@ -368,6 +368,62 @@ object TextAnalysis {
       min(size(ws)).as("min_doc_tokens"))
   }
 
+  /** Per-language token budget — the input table a mixture planner reads:
+    * for each language, document count, character volume, whitespace-token
+    * volume, and BPE-ish token volume (the [[tokenCounts]] regex). Integer
+    * sums only — the budgeting ratios (chars/token, fertility) divide out
+    * downstream, because IEEE quotients can't be hash-gated cross-engine.
+    * Feed the result into [[graft.ops.Sampling.mixtureSample]] /
+    * [[graft.ops.Sampling.upsampleEpochs]] to hit a per-language token
+    * (not document) target.
+    *
+    * Scale shape: one scan + ONE groupBy(lang) with map-side partial
+    * aggregation — language cardinality is dashboard-sized, so the shuffle
+    * moves one row per language per map task. No window, no join.
+    */
+  def langTokenBudget(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val t = col(textCol)
+    docs.groupBy(col(langCol).as("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(t)).as("n_chars"),
+        sum(size(words(t))).as("n_ws_tokens"),
+        sum(size(regexp_extract_all(t,
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0))))
+          .as("n_bpe_tokens"))
+  }
+
+  /** Corpus snapshot diff — the dataset-versioning audit between two
+    * releases: per document id, whether the new snapshot `added`,
+    * `removed`, `changed`, or kept it `unchanged` (content compared by
+    * md5 of the text, null-safe, so a null-text row equals a null-text
+    * row but differs from any real text). This is what a datacard's
+    * "changes since v1" section and an incremental re-train decision are
+    * computed from — and it composes: feed `changed`+`added` ids to the
+    * extraction pipeline to re-process exactly the delta.
+    *
+    * Scale shape: ONE full-outer sort-merge join keyed on the unique doc
+    * id (no skew possible) over two hash-projected scans; the status is a
+    * codegen'd CASE on presence markers + null-safe hash equality. No
+    * window, no driver state, no second pass.
+    *
+    * Output: (doc_id, status), one row per id present in either snapshot.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val o = oldDf.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("_ho"), lit(1).as("_po"))
+    val n = newDf.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("_hn"), lit(1).as("_pn"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("_po").isNull, lit("added"))
+          .when(col("_pn").isNull, lit("removed"))
+          .when(col("_ho") <=> col("_hn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Sentence splitting — the pre-tokenization segmentation pass: text is
     * cut at runs of terminal punctuation followed by whitespace
     * (`[.!?]+[ \t\n\x0B\f\r]+` — the whitespace class is explicit rather

@@ -1250,6 +1250,37 @@ class OpsSpec extends AnyFunSuite {
       ("healthy.example", 3L, 3L, 0L, 1L)))
   }
 
+  test("corpusDiff: all four statuses, null-text rows compared null-safely") {
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, "same"), (2L, "old text"), (3L, "gone"),
+      (4L, null), (5L, null)
+    ).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "same"), (2L, "new text"),
+      (4L, null),            // null == null -> unchanged
+      (5L, "was null"),      // null -> text -> changed
+      (6L, "brand new")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.corpusDiff(v1, v2)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "changed", 6L -> "added"))
+  }
+
+  test("langTokenBudget: hand-computed integer volumes per language") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "one two three"),   // 13 chars, 3 ws tokens, 3 bpe tokens
+      ("en", "a, b!"),           // 5 chars, 2 ws, 4 bpe (a , b !)
+      ("de", "ein wort")         // 8 chars, 2 ws, 2 bpe
+    ).toDF("lang", "text")
+    val out = TextAnalysis.langTokenBudget(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(("en", 2L, 18L, 5L, 7L), ("de", 1L, 8L, 2L, 2L)))
+  }
+
   test("crossSplitLeakage: domain-coherent splits leak nothing, per-doc splits do") {
     import spark.implicits._
     // near-dup twins always share the domain (the real-world shape: a
