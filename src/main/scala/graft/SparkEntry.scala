@@ -795,6 +795,9 @@ object SparkEntry {
   // tokenize identically on EVERY input; change in lockstep with words()
   private val WORDS = """list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), w -> len(w) > 0)"""
 
+  // the oracle-side mirror of ops.TextAnalysis.BpeTokenRe (same lockstep rule)
+  private val BPE = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"""
+
   private def xmlFulltext =
     s"'I. INTRODUCTION ' || $C || ' Manual Entry 1 TABLE ' || $K || '. CAP ' || $K || ' NOTES ' || $K || chr(10) || 'APPENDIX ' || $K || ' APP ' || $W0"
 
@@ -1016,7 +1019,7 @@ object SparkEntry {
 
     "q21_token_counts" ->
       s"""SELECT doc_id, len($WORDS) AS ws_tokens,
-          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS bpe_tokens
+          len(regexp_extract_all(text, '$BPE')) AS bpe_tokens
           FROM documents""",
 
     "q22_fingerprint" ->
@@ -1713,16 +1716,16 @@ object SparkEntry {
 
     // identical v2 derivation + full-outer join with null-safe hash compare
     "q82_corpus_diff" ->
-      """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents),
+      """WITH o AS (SELECT doc_id, md5(text) AS h, 1 AS po FROM documents),
           n0 AS (SELECT doc_id,
                    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
                  FROM documents WHERE doc_id % 7 <> 0
                  UNION ALL
                  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
-          n AS (SELECT doc_id, md5(text) AS h FROM n0)
+          n AS (SELECT doc_id, md5(text) AS h, 1 AS pn FROM n0)
           SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-                 CASE WHEN o.doc_id IS NULL THEN 'added'
-                      WHEN n.doc_id IS NULL THEN 'removed'
+                 CASE WHEN o.po IS NULL THEN 'added'
+                      WHEN n.pn IS NULL THEN 'removed'
                       WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged'
                       ELSE 'changed' END AS status
           FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
@@ -1732,9 +1735,8 @@ object SparkEntry {
       s"""SELECT lang, count(*) AS n_docs,
             sum(len(text))::BIGINT AS n_chars,
             sum(len($WORDS))::BIGINT AS n_ws_tokens,
-            sum(len(regexp_extract_all(text,
-              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')))::BIGINT AS n_bpe_tokens
-          FROM documents GROUP BY lang""",
+            sum(len(regexp_extract_all(text, '$BPE')))::BIGINT AS n_bpe_tokens
+          FROM documents WHERE text IS NOT NULL GROUP BY lang""",
 
     // identical one-pass totals (sums cast: DuckDB sums to HUGEINT)
     "q74_corpus_card" ->

@@ -32,6 +32,13 @@ object TextAnalysis {
   def words(textCol: Column): Column =
     filter(split(textCol, "[ \\t\\n\\x0B\\f\\r]+"), w => length(w) > 0)
 
+  /** The BPE-ish token pattern (letter runs | digit runs | single other
+    * non-whitespace char) shared by [[tokenCounts]] and [[langTokenBudget]]
+    * and mirrored by the q21/q83 oracles — one definition, same lockstep
+    * rule as [[words]].
+    */
+  val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
+
   private def countIn(ws: Column, list: Seq[String]): Column =
     size(filter(ws, w => w.isInCollection(list)))
 
@@ -79,8 +86,7 @@ object TextAnalysis {
     docs
       .withColumn("ws_tokens", size(words(col(textCol))))
       .withColumn("bpe_tokens",
-        size(regexp_extract_all(col(textCol),
-          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0))))
+        size(regexp_extract_all(col(textCol), lit(BpeTokenRe), lit(0))))
 
   /** Document fingerprint: minimum md5 over word 5-gram shingles (a
     * winnowing-style content fingerprint robust to reordering of far-apart
@@ -380,17 +386,23 @@ object TextAnalysis {
     * Scale shape: one scan + ONE groupBy(lang) with map-side partial
     * aggregation — language cardinality is dashboard-sized, so the shuffle
     * moves one row per language per map task. No window, no join.
+    *
+    * NULL-text rows are EXCLUDED (the [[graft.ops.WebOps.sourceDupStats]]
+    * policy): a failed extraction is not a document; counting it in
+    * `n_docs` against zero token volume would skew every tokens-per-doc
+    * ratio a planner derives.
     */
   def langTokenBudget(docs: DataFrame, textCol: String = "text",
       langCol: String = "lang"): DataFrame = {
     val t = col(textCol)
-    docs.groupBy(col(langCol).as("lang"))
+    docs
+      .filter(t.isNotNull)
+      .groupBy(col(langCol).as("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(length(t)).as("n_chars"),
         sum(size(words(t))).as("n_ws_tokens"),
-        sum(size(regexp_extract_all(t,
-          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0))))
+        sum(size(regexp_extract_all(t, lit(BpeTokenRe), lit(0))))
           .as("n_bpe_tokens"))
   }
 

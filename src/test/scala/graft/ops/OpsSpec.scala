@@ -1199,6 +1199,14 @@ class OpsSpec extends AnyFunSuite {
     val out = Dedup.crossSplitLeakage(pairs, assign)
       .as[(Long, Long, String, String)].collect().toSet
     assert(out == Set((1L, 2L, "train", "val"), (5L, 6L, "test", "train")))
+    // re-audit: the audit's own output is a valid pair list for a NEW
+    // assignment (stale split_a/split_b must not make the join ambiguous)
+    val reassigned = Seq((1L, "train"), (2L, "train"), (5L, "val"), (6L, "train"))
+      .toDF("doc_id", "split")
+    val again = Dedup.crossSplitLeakage(
+      Dedup.crossSplitLeakage(pairs, assign), reassigned)
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(again == Set((5L, 6L, "val", "train")))
   }
 
   test("scrubSpans: text spans redacted in place, media spans and offsets untouched") {
@@ -1274,7 +1282,8 @@ class OpsSpec extends AnyFunSuite {
     val docs = Seq(
       ("en", "one two three"),   // 13 chars, 3 ws tokens, 3 bpe tokens
       ("en", "a, b!"),           // 5 chars, 2 ws, 4 bpe (a , b !)
-      ("de", "ein wort")         // 8 chars, 2 ws, 2 bpe
+      ("de", "ein wort"),        // 8 chars, 2 ws, 2 bpe
+      ("de", null)               // failed extraction: excluded entirely
     ).toDF("lang", "text")
     val out = TextAnalysis.langTokenBudget(docs)
       .as[(String, Long, Long, Long, Long)].collect().toSet
