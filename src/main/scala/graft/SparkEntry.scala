@@ -712,6 +712,46 @@ object SparkEntry {
     "q83_lang_token_budget" -> ((s, dir) =>
       TextAnalysis.langTokenBudget(s.read.parquet(s"$dir/documents.parquet"))),
 
+    // length-bucketed batch packing: deterministic md5-order batches within
+    // token-length buckets + per-doc padding waste (distributed grouped
+    // rank — never a per-bucket window)
+    "q84_bucket_batches" -> ((s, dir) =>
+      Sampling.bucketBatches(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // shard release manifest: counts, weights, id range and an
+    // order-independent XOR content checksum per packShards shard
+    "q88_shard_manifest" -> ((s, dir) =>
+      Sampling.shardManifest(
+        s.read.parquet(s"$dir/documents.parquet"), budget = 10000L)),
+
+    // corpus-frequency boilerplate removal over the q54 planted universe
+    // (header on even ids, footer on ids %3==0 — both in >2 docs, so both
+    // are removed from EVERY doc, unlike q54's keep-one-owner rule)
+    "q85_remove_frequent_lines" -> ((s, dir) => {
+      val planted = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat_ws("\n",
+          when(col("doc_id") % 2 === 0,
+            lit("shared header boilerplate menu home about contact"))
+            .otherwise(substring(col("text"), 1, 50)),
+          substring(col("text"), 51, 50),
+          when(col("doc_id") % 3 === 0,
+            lit("copyright footer all rights reserved"))
+            .otherwise(substring(col("text"), 101, 50))).as("text"))
+      Dedup.removeFrequentLines(planted)
+        .select("doc_id", "text", "n_lines_removed")
+    }),
+
+    // vocabulary drift between two snapshots: docs %5==0 dropped, docs
+    // %7!=0 kept verbatim, %7==0 survivors gain a planted token — the
+    // planted term and the dropped docs' vocabulary dominate the deltas
+    "q86_term_drift" -> ((s, dir) => {
+      val v1 = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val v2 = v1.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" zeitgeist"))).otherwise(col("text")))
+      TextAnalysis.termDrift(v1, v2)
+    }),
+
     // corpus datacard: one-row release summary, all integers
     "q74_corpus_card" -> ((s, dir) =>
       TextAnalysis.corpusCard(s.read.parquet(s"$dir/documents.parquet"))
@@ -1737,6 +1777,94 @@ object SparkEntry {
             sum(len($WORDS))::BIGINT AS n_ws_tokens,
             sum(len(regexp_extract_all(text, '$BPE')))::BIGINT AS n_bpe_tokens
           FROM documents WHERE text IS NOT NULL GROUP BY lang""",
+
+    // the same bucket CASE / within-bucket md5 rank / fixed-size batch cut
+    // / per-batch max, restated as windows (fine at oracle scale; the
+    // Spark plan replaces the per-bucket window with the distributed
+    // grouped rank)
+    "q84_bucket_batches" ->
+      s"""WITH t AS (SELECT doc_id, coalesce(len($WORDS), 0)::BIGINT AS len_tokens
+                     FROM documents),
+          b AS (SELECT doc_id, len_tokens,
+                  CASE WHEN len_tokens <= 16 THEN 0 WHEN len_tokens <= 32 THEN 1
+                       WHEN len_tokens <= 64 THEN 2 WHEN len_tokens <= 128 THEN 3
+                       ELSE 4 END AS bucket FROM t),
+          r AS (SELECT doc_id, len_tokens, bucket,
+                  (row_number() OVER (PARTITION BY bucket
+                     ORDER BY md5(doc_id::VARCHAR), doc_id) - 1) // 8 AS batch_id
+                FROM b)
+          SELECT doc_id, len_tokens, bucket, batch_id,
+                 (max(len_tokens) OVER (PARTITION BY bucket, batch_id)
+                  - len_tokens)::BIGINT AS pad_tokens
+          FROM r""",
+
+    // the same shard cut as q52 (exclusive prefix sum over len(text) in
+    // doc_id order / 10k) + one group-by with an order-independent XOR of
+    // the 32-bit md5-prefix hash of 'id:md5(text)'
+    "q88_shard_manifest" ->
+      """WITH s AS (SELECT doc_id, len(text)::BIGINT AS w,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':' || md5(text)), 1, 8))::BIGINT AS h32,
+               (coalesce(sum(len(text)) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 10000)::BIGINT AS shard_id
+             FROM documents)
+         SELECT shard_id, count(*) AS n_docs, sum(w)::BIGINT AS total_chars,
+                min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+                bit_xor(h32) AS checksum
+         FROM s GROUP BY shard_id""",
+
+    // same planted universe as q54; lines in >2 distinct docs removed
+    // everywhere, short lines bypass, docs rebuilt in line order
+    "q85_remove_frequent_lines" ->
+      """WITH d AS (
+           SELECT doc_id, concat_ws(chr(10),
+             CASE WHEN doc_id % 2 = 0 THEN 'shared header boilerplate menu home about contact'
+                  ELSE substr(text, 1, 50) END,
+             substr(text, 51, 50),
+             CASE WHEN doc_id % 3 = 0 THEN 'copyright footer all rights reserved'
+                  ELSE substr(text, 101, 50) END) AS text
+           FROM documents),
+         p AS (
+           SELECT doc_id, unnest(generate_series(1, len(parts))) - 1 AS pos,
+                  unnest(parts) AS line
+           FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d)),
+         freq AS (
+           SELECT md5(line) AS h FROM p WHERE len(line) >= 10
+           GROUP BY 1 HAVING count(DISTINCT doc_id) > 2),
+         keep AS (
+           SELECT doc_id, pos, line FROM p
+           WHERE len(line) < 10 OR md5(line) NOT IN (SELECT h FROM freq)),
+         reb AS (
+           SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                  count(*) AS n_kept
+           FROM keep GROUP BY doc_id),
+         orig AS (SELECT doc_id, len(string_split(text, chr(10)))::BIGINT AS n0 FROM d)
+         SELECT orig.doc_id, coalesce(reb.text, '') AS text,
+                (orig.n0 - coalesce(reb.n_kept, 0))::BIGINT AS n_lines_removed
+         FROM orig LEFT JOIN reb USING (doc_id)""",
+
+    // document frequency per snapshot (distinct per doc), full-outer join,
+    // top-k by (|delta| desc, term asc) — a deterministic total order
+    "q86_term_drift" ->
+      s"""WITH o AS (
+            SELECT term, count(*) AS df_old
+            FROM (SELECT doc_id, unnest(list_distinct($WORDS)) AS term FROM documents) t
+            GROUP BY 1),
+          v2 AS (
+            SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' zeitgeist'
+                                ELSE text END AS text
+            FROM documents WHERE doc_id % 5 != 0),
+          n AS (
+            SELECT term, count(*) AS df_new
+            FROM (SELECT doc_id, unnest(list_distinct($WORDS)) AS term FROM v2) t
+            GROUP BY 1),
+          j AS (
+            SELECT coalesce(o.term, n.term) AS term,
+                   coalesce(df_old, 0)::BIGINT AS df_old,
+                   coalesce(df_new, 0)::BIGINT AS df_new
+            FROM o FULL OUTER JOIN n ON o.term = n.term)
+          SELECT term, df_old, df_new, (df_new - df_old)::BIGINT AS delta
+          FROM j ORDER BY abs(df_new - df_old) DESC, term ASC LIMIT 20""",
 
     // identical one-pass totals (sums cast: DuckDB sums to HUGEINT)
     "q74_corpus_card" ->

@@ -406,6 +406,54 @@ object Dedup {
         coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"))
   }
 
+  /** Corpus-frequency boilerplate removal — the OTHER standard line-level
+    * pass (CCNet's "drop lines shared by many documents", complementing
+    * [[paragraphDedup]]'s keep-one-owner rule): a line occurring in more
+    * than `maxDocFreq` DISTINCT documents is navigation / cookie-banner /
+    * footer boilerplate and is removed from EVERY document (no surviving
+    * owner — the line is noise, not content). Lines shorter than `minLen`
+    * chars bypass the rule, like paragraphDedup's short-line guard.
+    *
+    * Scale shape: one posexplode (O(corpus lines)); the document-frequency
+    * count is an aggregation on the line hash — count(distinct doc_id)
+    * plans as a two-phase expand + partial aggregate, so a line repeated a
+    * billion times still combines map-side; membership is a LEFT ANTI join
+    * on the same hash key (the frequent set is tiny — AQE broadcasts it);
+    * the rebuild is one groupBy(doc_id) whose buffer is bounded by the
+    * document's own line count. Every input doc comes back (possibly
+    * empty), so the output substitutes 1:1 for the input.
+    *
+    * Output: (doc_id, text, n_lines_removed).
+    */
+  def removeFrequentLines(docs: DataFrame, maxDocFreq: Int = 2,
+      minLen: Int = 10, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val lines = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val eligible = lines.filter(length(col("line")) >= minLen)
+      .withColumn("h", md5(col("line")))
+    val frequent = eligible.groupBy("h")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("h")
+    val kept = eligible.join(frequent, Seq("h"), "left_anti")
+      .select("doc_id", "pos", "line")
+      .unionByName(lines.filter(length(col("line")) < minLen))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("line")))).as("_ps"),
+        count(lit(1)).as("_n_kept"))
+      .select(col("doc_id"),
+        concat_ws("\n", transform(col("_ps"), p => p("line"))).as(textCol),
+        col("_n_kept"))
+    docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), "\n")).cast("long").as("_n0"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col(textCol), lit("")).as(textCol),
+        (col("_n0") - coalesce(col("_n_kept"), lit(0L))).as("n_lines_removed"))
+  }
+
   /** Corpus-duplicated n-gram coverage — the measurement half of
     * substring-level dedup (Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better"): for every document, how many of its

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -236,7 +237,13 @@ object Sampling {
     */
   private def exclusivePrefixSum(df: DataFrame, sortCols: Seq[String]): DataFrame = {
     val base = df
-      .repartitionByRange(col(sortCols.head))
+      // range partition on the FULL sort tuple: with a single sort column
+      // this is the original behavior; with a composite (e.g. a low-
+      // cardinality group column leading a hash) it spreads each group
+      // across many partitions while keeping the global concatenated
+      // order consistent with the local sort below — the property
+      // [[groupedRank]] needs so one skewed group never lands on one task
+      .repartitionByRange(sortCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
     val sums = base.groupBy("_pid").agg(sum("_w").as("_s"))
@@ -448,5 +455,111 @@ object Sampling {
           .as(Seq("chunk_id", "chunk_text")))
       .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
         least(lit(chunkSize), nw - col("chunk_id") * stride).as("n_chunk_tokens"))
+  }
+
+  /** 0-based rank of every row WITHIN its group, rows ordered by
+    * md5(id) — the grouped form of [[shuffleOrder]], and the primitive a
+    * window `row_number() OVER (PARTITION BY group ORDER BY hash)` states
+    * declaratively but executes as one task per group: with a handful of
+    * groups over a 10^12-doc corpus (the length-bucket case) that window
+    * collapses the whole corpus onto ~5 tasks. Here instead:
+    *   1. the [[exclusivePrefixSum]] layout range-partitions on the FULL
+    *      (group, hash) tuple, so each group spans many partitions and the
+    *      global `_off` is a rank consistent with (group, hash, id) order,
+    *   2. one bounded aggregation (one row PER GROUP, map-side combined
+    *      over the already-checkpointed layout) finds each group's first
+    *      global rank,
+    *   3. a broadcast join subtracts it: rank-in-group = _off - base.
+    * No task ever holds more than its range slice; group skew is spread by
+    * the hash inside the range key.
+    *
+    * Input must carry `groupCol` and a unique `idCol`; every input column
+    * rides through. Output: the input columns plus `_grank` (0-based
+    * within-group rank in md5(id) order).
+    */
+  private[ops] def groupedRank(df: DataFrame, groupCol: String,
+      idCol: String): DataFrame = {
+    val ranked = exclusivePrefixSum(
+      df.withColumn("_h", md5(col(idCol).cast("string")))
+        .withColumn("_w", lit(1L)),
+      sortCols = Seq(groupCol, "_h", idCol))
+    val bases = ranked.groupBy(groupCol).agg(min("_off").as("_base"))
+    ranked.join(broadcast(bases), Seq(groupCol))
+      .withColumn("_grank", col("_off") - col("_base"))
+      .drop("_h", "_w", "_off", "_base")
+  }
+
+  /** Length-bucketed batch packing — the padding-efficient batching scheme
+    * for models that pad to the longest sequence in a batch (encoder /
+    * fine-tune style), complementing [[packTokenBlocks]]'s concatenation
+    * scheme: documents are bucketed by token-length boundaries, laid out
+    * in deterministic md5(id) order WITHIN each bucket, and cut into
+    * fixed-`batchDocs` batches, so every batch holds same-scale documents
+    * and the padding waste (`max(len in batch) - len`) stays small.
+    * Deterministic end to end — re-runs reproduce the same batches.
+    *
+    * Scale shape: one codegen'd CASE assigns the bucket (map-only); the
+    * within-bucket rank is [[groupedRank]] (distributed — NEVER a
+    * per-bucket window, which would put an entire bucket on one task);
+    * the final padding column is a genuine window but partitioned by
+    * (bucket, batch_id), whose partitions are <= `batchDocs` rows BY
+    * CONSTRUCTION — bounded state regardless of corpus size or skew.
+    *
+    * Output: (doc_id, len_tokens, bucket, batch_id, pad_tokens).
+    */
+  def bucketBatches(df: DataFrame, batchDocs: Int = 8,
+      boundaries: Seq[Int] = Seq(16, 32, 64, 128),
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(batchDocs > 0, "batchDocs must be positive")
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted,
+      "boundaries must be ascending")
+    val len = coalesce(
+      size(TextAnalysis.words(col(textCol))).cast("long"), lit(0L))
+    val bucket = boundaries.zipWithIndex
+      .foldRight(lit(boundaries.length): Column) { case ((b, i), els) =>
+        when(col("len_tokens") <= b, lit(i)).otherwise(els)
+      }
+    val bucketed = df
+      .select(col(idCol).as("doc_id"), len.as("len_tokens"))
+      .withColumn("bucket", bucket)
+    val w = Window.partitionBy("bucket", "batch_id")
+    groupedRank(bucketed, "bucket", "doc_id")
+      .withColumn("batch_id", expr(s"_grank div ${batchDocs}L"))
+      .select(col("doc_id"), col("len_tokens"), col("bucket"), col("batch_id"),
+        (max("len_tokens").over(w) - col("len_tokens")).as("pad_tokens"))
+  }
+
+  /** Release manifest for a [[packShards]] layout: one row per shard with
+    * its document count, total weight, id range, and an order-independent
+    * content checksum — the artifact a training run pins so "did the data
+    * change under me?" is a manifest diff, not a re-read of 100 TB. The
+    * checksum XORs the 32-bit md5-prefix hash of `id:md5(text)` over the
+    * shard's documents: XOR commutes, so any partitioning computes the
+    * same value, and binding the id to the content hash makes both a
+    * content change and a document swap between shards visible (a pure
+    * content XOR would cancel identical docs moved in pairs).
+    *
+    * Scale shape: the shard assignment is [[packShards]]'s distributed
+    * prefix sum; the manifest itself is ONE groupBy(shard_id) with
+    * map-side partial aggregation — every aggregate (count, sum, min,
+    * max, bit_xor) is constant-size per shard, and output cardinality is
+    * corpus_weight / budget rows.
+    *
+    * Output: (shard_id, n_docs, total_chars, min_doc_id, max_doc_id,
+    * checksum).
+    */
+  def shardManifest(df: DataFrame, budget: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val weighted = df.select(col(idCol), length(col(textCol)).cast("long").as("_w"),
+      hash32(concat(col(idCol).cast("string"), lit(":"), md5(col(textCol))))
+        .as("_h32"))
+    exclusivePrefixSum(weighted, sortCols = Seq(idCol))
+      .select(col(idCol), col("_h32"), col("_w"),
+        expr(s"_off div ${budget}L").as("shard_id"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("_w").as("total_chars"),
+        min(col(idCol)).as("min_doc_id"), max(col(idCol)).as("max_doc_id"),
+        expr("bit_xor(_h32)").as("checksum"))
   }
 }

@@ -436,6 +436,39 @@ object TextAnalysis {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Term-distribution drift between two corpus snapshots: the `k` terms
+    * whose DOCUMENT frequency moved most between the old and new corpus —
+    * the release-gate companion to [[corpusDiff]] (that one says WHICH
+    * docs changed; this one says what the change did to the vocabulary —
+    * a spam injection, a crawler source flip, or a dedup pass each leave a
+    * distinct signature in the df deltas). Document frequency (distinct
+    * per doc), not term frequency: one pathological doc repeating a word a
+    * million times cannot dominate the drift report. Integer counts only.
+    *
+    * Scale shape: two independent df aggregations (distinct-per-doc
+    * explode, then groupBy(term) with map-side partials — [[topTerms]]'s
+    * shape), ONE full-outer sort-merge join on the term, and a
+    * TakeOrderedAndProject for the top-k (abs delta desc, term asc —
+    * deterministic total order) — k rows per partition, never a global
+    * sort.
+    *
+    * Output: (term, df_old, df_new, delta), k rows.
+    */
+  def termDrift(oldDf: DataFrame, newDf: DataFrame, k: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    def df(d: DataFrame, out: String) = d
+      .select(explode(array_distinct(words(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as(out))
+    df(oldDf, "df_old").join(df(newDf, "df_new"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("df_old"), lit(0L)).as("df_old"),
+        coalesce(col("df_new"), lit(0L)).as("df_new"))
+      .withColumn("delta", col("df_new") - col("df_old"))
+      .orderBy(abs(col("delta")).desc, col("term"))
+      .limit(k)
+  }
+
   /** Sentence splitting — the pre-tokenization segmentation pass: text is
     * cut at runs of terminal punctuation followed by whitespace
     * (`[.!?]+[ \t\n\x0B\f\r]+` — the whitespace class is explicit rather

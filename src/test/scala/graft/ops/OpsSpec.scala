@@ -1309,4 +1309,151 @@ class OpsSpec extends AnyFunSuite {
       coherenceCol = "doc_id").select("doc_id", "split")
     assert(Dedup.crossSplitLeakage(pairs, byDoc).count() > 0)
   }
+
+  test("groupedRank: per-group md5 rank, all columns ride, skewed group never a window") {
+    import spark.implicits._
+    // group 'big' holds 90% of rows — the skew a per-group window would
+    // put on one task
+    val rows = (0L until 200L).map(i =>
+      (i, if (i % 10 == 0) s"g${i % 3}" else "big", s"payload$i"))
+    val df = rows.toDF("id", "grp", "payload").repartition(7)
+    val out = Sampling.groupedRank(df, "grp", "id")
+      .select("grp", "id", "payload", "_grank")
+      .as[(String, Long, String, Long)].collect()
+    // expected: within each group, 0-based rank in md5(id) order
+    val want = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      rs.map(_._1).sortBy(i => md5Hex(i.toString))
+        .zipWithIndex.map { case (id, r) => ((g, id), r.toLong) }
+    }
+    for (((g, id), r) <- want)
+      assert(out.find(o => o._1 == g && o._2 == id).get._4 == r, s"($g,$id)")
+    // payload column rode through untouched
+    assert(out.forall(o => o._3 == s"payload${o._2}"))
+  }
+
+  test("bucketBatches: bucket boundaries, fixed-size md5-order batches, exact padding") {
+    import spark.implicits._
+    // token counts straddling every boundary (16/32/64/128), incl. empty
+    val docs = (0L until 120L).map { i =>
+      val n = (i * 3 % 140).toInt
+      (i, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text").repartition(9)
+    val out = Sampling.bucketBatches(docs, batchDocs = 4)
+      .select("doc_id", "len_tokens", "bucket", "batch_id", "pad_tokens")
+      .as[(Long, Long, Int, Long, Long)].collect()
+    def bucketOf(n: Long) =
+      if (n <= 16) 0 else if (n <= 32) 1 else if (n <= 64) 2 else if (n <= 128) 3 else 4
+    val lens = (0L until 120L).map(i => i -> (i * 3 % 140)).toMap
+    assert(out.length == 120)
+    for ((id, len, b, _, _) <- out) {
+      assert(len == lens(id)); assert(b == bucketOf(len))
+    }
+    // within each bucket: batch = floor(md5-rank / 4)
+    for ((b, rows) <- out.groupBy(_._3)) {
+      val ranked = rows.map(_._1).sortBy(i => md5Hex(i.toString)).zipWithIndex.toMap
+      for ((id, _, _, batch, _) <- rows)
+        assert(batch == ranked(id) / 4, s"doc $id bucket $b")
+      // pad = batch max - len, exactly
+      for ((_, brows) <- rows.groupBy(_._4)) {
+        val mx = brows.map(_._2).max
+        assert(brows.forall(r => r._5 == mx - r._2))
+      }
+    }
+    // exactly ONE window in the plan (the bounded per-batch pad) — the
+    // per-bucket rank must NOT be a window (it would put a whole bucket
+    // on one task)
+    val plan = Sampling.bucketBatches(docs, batchDocs = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.sliding(7).count(_ == "Window ") <= 1, s"extra Window in:\n$plan")
+    assertThrows[IllegalArgumentException](Sampling.bucketBatches(docs, 0))
+    assertThrows[IllegalArgumentException](
+      Sampling.bucketBatches(docs, 4, boundaries = Seq(32, 16)))
+  }
+
+  test("shardManifest: layout-independent, content-sensitive, closed-form stats") {
+    import spark.implicits._
+    val docs = (0L until 80L).map(i => (i, "x" * 25)).toDF("doc_id", "text")
+    val m1 = Sampling.shardManifest(docs, budget = 100L)
+      .orderBy("shard_id").collect().map(_.toSeq)
+    // physical layout doesn't change the manifest (XOR commutes)
+    val m2 = Sampling.shardManifest(docs.repartition(11), budget = 100L)
+      .orderBy("shard_id").collect().map(_.toSeq)
+    assert(m1.toSeq == m2.toSeq)
+    // closed form: 80 docs x 25 chars, budget 100 -> shard = floor(25i/100),
+    // 4 docs per shard, contiguous ids
+    assert(m1.length == 20)
+    for ((row, s) <- m1.zipWithIndex) {
+      assert(row(0) == s.toLong); assert(row(1) == 4L); assert(row(2) == 100L)
+      assert(row(3) == s * 4L && row(4) == s * 4L + 3)
+    }
+    // a same-length content change flips exactly its own shard's checksum
+    val tweaked = docs.withColumn("text",
+      when(col("doc_id") === 42L, lit("y" * 25)).otherwise(col("text")))
+    val m3 = Sampling.shardManifest(tweaked, budget = 100L)
+      .orderBy("shard_id").collect().map(_.toSeq)
+    val diff = m1.zip(m3).zipWithIndex.filter { case ((a, b), _) => a != b }
+    assert(diff.map(_._2).toSeq == Seq(10)) // doc 42 lives in shard 10
+    // and a swap of two docs' ids between shards flips both checksums
+    val swapped = docs.withColumn("text",
+      when(col("doc_id") === 0L, lit("z" * 25))
+        .when(col("doc_id") === 79L, lit("x" * 25)).otherwise(col("text")))
+    val m4 = Sampling.shardManifest(swapped, budget = 100L)
+      .orderBy("shard_id").collect().map(_.toSeq)
+    assert(m1.head != m4.head)
+  }
+
+  test("removeFrequentLines: >maxDocFreq removed everywhere, short lines bypass, order kept") {
+    import spark.implicits._
+    // 'NAV MENU HOME ABOUT' in 3 docs (removed: > 2), 'rare shared line x'
+    // in 2 (kept), '--' short and in all (kept: bypasses), uniques kept
+    val docs = Seq(
+      (1L, "NAV MENU HOME ABOUT\nunique one alpha beta\n--"),
+      (2L, "NAV MENU HOME ABOUT\nrare shared line x\n--"),
+      (3L, "NAV MENU HOME ABOUT\nrare shared line x\n--"),
+      (4L, "unique four gamma delta\n--")).toDF("doc_id", "text")
+    val out = Dedup.removeFrequentLines(docs, maxDocFreq = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (("unique one alpha beta\n--", 1L)))
+    assert(out(2L) == (("rare shared line x\n--", 1L)))
+    assert(out(3L) == (("rare shared line x\n--", 1L)))
+    assert(out(4L) == (("unique four gamma delta\n--", 0L)))
+    // a doc made ENTIRELY of boilerplate comes back empty, not missing
+    val all = docs.unionAll(Seq((5L, "NAV MENU HOME ABOUT")).toDF("doc_id", "text"))
+    val o5 = Dedup.removeFrequentLines(all, maxDocFreq = 2)
+      .filter(col("doc_id") === 5L).as[(Long, String, Long)].head()
+    assert(o5 == ((5L, "", 1L)))
+    // df is DISTINCT docs: the same line twice in ONE doc doesn't count as 2
+    val twice = Seq(
+      (1L, "dup line in one doc\ndup line in one doc"),
+      (2L, "dup line in one doc\nother content here")).toDF("doc_id", "text")
+    val t = Dedup.removeFrequentLines(twice, maxDocFreq = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(t(1L) == 0L && t(2L) == 0L)
+    assertThrows[IllegalArgumentException](Dedup.removeFrequentLines(docs, 0))
+  }
+
+  test("termDrift: df is distinct-per-doc, deltas exact, (|delta| desc, term) order") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "apple banana banana"), // banana df 1 despite tf 2
+      (2L, "apple cherry"),
+      (3L, "apple date")).toDF("doc_id", "text")
+    val nw = Seq(
+      (1L, "banana banana"), // apple dropped here
+      (2L, "cherry cherry fig"),
+      (3L, "fig date")).toDF("doc_id", "text")
+    val out = TextAnalysis.termDrift(old, nw, k = 3)
+      .as[(String, Long, Long, Long)].collect()
+    // deltas: apple 3->0 = -3, fig 0->2 = +2, everything else |1| or 0
+    assert(out(0) == (("apple", 3L, 0L, -3L)))
+    assert(out(1) == (("fig", 0L, 2L, 2L)))
+    // rank 3: ties at |delta|=0? no — banana 1->1 (0), cherry 1->1 (0),
+    // date 1->1 (0) — all zero; no |1| rows, so term asc decides: banana
+    assert(out(2) == (("banana", 1L, 1L, 0L)))
+    assertThrows[IllegalArgumentException](TextAnalysis.termDrift(old, nw, 0))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }
