@@ -741,6 +741,23 @@ object SparkEntry {
         .select("doc_id", "text", "n_lines_removed")
     }),
 
+    // incremental near-dup vs a signature store: batch = drop-1-word
+    // mutations of store docs (near-dups), exact copies (jaccard 1), and
+    // fresh docs not in the store (novel) — dup_of = min matching store id
+    "q87_incremental_minhash" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val words = ops.TextAnalysis.words(col("text"))
+      val store = docs.filter(col("doc_id") < 150)
+      val batch = docs.filter(col("doc_id") < 50)
+        .withColumn("text", concat_ws(" ", slice(words, lit(1), size(words) - 1)))
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .unionAll(docs.filter(col("doc_id").between(300, 349))
+          .withColumn("doc_id", col("doc_id") + 2000000L))
+        .unionAll(docs.filter(col("doc_id").between(100, 119))
+          .withColumn("doc_id", col("doc_id") + 3000000L))
+      Dedup.incrementalMinhash(batch, store)
+    }),
+
     // vocabulary drift between two snapshots: docs %5==0 dropped, docs
     // %7!=0 kept verbatim, %7==0 survivors gain a planted token — the
     // planted term and the dropped docs' vocabulary dominate the deltas
@@ -1842,6 +1859,40 @@ object SparkEntry {
          SELECT orig.doc_id, coalesce(reb.text, '') AS text,
                 (orig.n0 - coalesce(reb.n_kept, 0))::BIGINT AS n_lines_removed
          FROM orig LEFT JOIN reb USING (doc_id)""",
+
+    // directed exact-jaccard restatement (LSH recall ~1 at these params,
+    // and every candidate is exact-verified, so the verified output IS
+    // the exact batch x store jaccard match list), min store id per doc
+    "q87_incremental_minhash" ->
+      s"""WITH store AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+          batch AS (
+            SELECT doc_id + 1000000 AS doc_id,
+                   array_to_string(w[1:len(w)-1], ' ') AS text
+            FROM (SELECT doc_id, $WORDS AS w FROM documents WHERE doc_id < 50)
+            UNION ALL
+            SELECT doc_id + 2000000 AS doc_id, text FROM documents
+            WHERE doc_id BETWEEN 300 AND 349
+            UNION ALL
+            SELECT doc_id + 3000000 AS doc_id, text FROM documents
+            WHERE doc_id BETWEEN 100 AND 119),
+          bt AS (SELECT doc_id, $WORDS AS w FROM batch),
+          st AS (SELECT doc_id, $WORDS AS w FROM store),
+          bsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, greatest(len(w) - 2, 0)),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle FROM bt),
+          ssh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, greatest(len(w) - 2, 0)),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle FROM st),
+          bsz AS (SELECT doc_id, count(*) AS sz FROM bsh GROUP BY 1),
+          ssz AS (SELECT doc_id, count(*) AS sz FROM ssh GROUP BY 1),
+          inter AS (SELECT b.doc_id AS doc_id, s.doc_id AS store_id, count(*) AS c
+                    FROM bsh b JOIN ssh s ON b.shingle = s.shingle GROUP BY 1, 2)
+          SELECT inter.doc_id AS doc_id, min(store_id) AS dup_of
+          FROM inter
+          JOIN bsz ON bsz.doc_id = inter.doc_id
+          JOIN ssz ON ssz.doc_id = inter.store_id
+          WHERE c * 1.0 / (bsz.sz + ssz.sz - c) >= 0.85
+          GROUP BY inter.doc_id""",
 
     // document frequency per snapshot (distinct per doc), full-outer join,
     // top-k by (|delta| desc, term asc) — a deterministic total order

@@ -226,13 +226,19 @@ object Dedup {
     * are generated per capped bucket, one join brings texts back for exact
     * verification.
     */
-  def minhashLsh(docs: DataFrame, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      tau: Double = 0.85, maxBucket: Int = 64): DataFrame = {
+  /** MinHash band-signature table: one row per (doc, band) with the band's
+    * bucket key — the persisted artifact of an LSH dedup store ([[
+    * minhashLsh]] derives it in-flight; [[incrementalMinhash]] treats the
+    * historical corpus's table as the standing store a daily batch joins
+    * against). One typed map per doc, no shuffle; a doc shorter than `n`
+    * words emits no rows (it has no n-grams to sign).
+    */
+  private[ops] def bandKeys(docs: DataFrame, n: Int, bands: Int,
+      rowsPerBand: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val numPerm = bands * rowsPerBand
-
-    val sigs = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val words = text.split("\\s+").filter(_.nonEmpty)
         val shingles: Iterator[String] =
@@ -247,16 +253,24 @@ object Dedup {
             p += 1
           }
         }
-        val bandKeys = Array.tabulate(bands) { b =>
-          val slice = java.util.Arrays.copyOfRange(mins, b * rowsPerBand, (b + 1) * rowsPerBand)
-          (b.toLong << 32) | (scala.util.hashing.MurmurHash3.arrayHash(slice, 98765).toLong & 0xffffffffL)
-        }
-        (id, bandKeys)
+        val keys =
+          if (words.length < n) Array.empty[Long]
+          else Array.tabulate(bands) { b =>
+            val slice = java.util.Arrays.copyOfRange(mins, b * rowsPerBand, (b + 1) * rowsPerBand)
+            (b.toLong << 32) | (scala.util.hashing.MurmurHash3.arrayHash(slice, 98765).toLong & 0xffffffffL)
+          }
+        (id, keys)
       }.toDF("doc_id", "band_keys")
+      .select(col("doc_id"), explode(col("band_keys")).as("bucket"))
+  }
+
+  def minhashLsh(docs: DataFrame, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      tau: Double = 0.85, maxBucket: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
 
     val buckets = boundedBuckets(
-      sigs.select(col("doc_id"), explode(col("band_keys")).as("bucket")),
-      "doc_id", maxBucket)
+      bandKeys(docs, n, bands, rowsPerBand), "doc_id", maxBucket)
 
     val candidates = buckets.select(col("ids"), col("truncated"))
       .as[(Seq[Long], Int)]
@@ -278,6 +292,59 @@ object Dedup {
         if (j >= tau) Some((a, b)) else None
       }.toDF("doc_a", "doc_b")
     verified
+  }
+
+  /** Incremental NEAR-dup detection: flag new-batch documents that are
+    * near-duplicates of the historical corpus — [[incrementalExact]]'s
+    * semantics lifted from hash equality to MinHash/Jaccard similarity,
+    * the shape of "dedup today's crawl against the all-time corpus"
+    * (re-running [[minhashLsh]] over store+batch would re-sign and
+    * re-bucket the WHOLE store every ingest; here the store contributes
+    * only its standing band-signature table — [[bandKeys]], persisted
+    * once, appended per ingest — and the batch is signed fresh).
+    *
+    * Plan: one typed map signs the batch (no shuffle, O(batch)); the
+    * store's signature table is capped at `maxBucket` ids per bucket
+    * (row_number over the bucket — the [[boundedBuckets]] bound, applied
+    * store-side so a degenerate hot bucket bounds the join fan-out
+    * instead of exploding it); ONE equi-join on the bucket key yields
+    * candidates (batch docs carry <= `bands` buckets each, so candidates
+    * <= |batch| x bands x maxBucket); exact Jaccard against the store
+    * text verifies every candidate; one groupBy(batch id) takes the
+    * minimum matching store id. The batch side is ingest-sized —
+    * broadcastable; the store is touched only through its (pruned)
+    * signature table and the candidate-sized text lookup join.
+    *
+    * Output: (doc_id, dup_of) — one row per batch doc with at least one
+    * store near-dup at `tau`, dup_of = the smallest matching store id.
+    * Callers anti-join the batch against it to keep the novel docs.
+    */
+  def incrementalMinhash(batch: DataFrame, store: DataFrame, n: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 4, tau: Double = 0.85,
+      maxBucket: Int = 64): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val storeSig = bandKeys(store, n, bands, rowsPerBand)
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    val cappedStore = storeSig
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxBucket)
+      .select(col("bucket"), col("doc_id").as("store_id"))
+    val candidates = bandKeys(batch, n, bands, rowsPerBand)
+      .join(cappedStore, Seq("bucket"))
+      .select("doc_id", "store_id").distinct()
+    val batchTexts = batch.select(col("doc_id").cast("long").as("doc_id"),
+      col("text").as("_bt"))
+    val storeTexts = store.select(col("doc_id").cast("long").as("store_id"),
+      col("text").as("_st"))
+    candidates
+      .join(batchTexts, "doc_id").join(storeTexts, "store_id")
+      .select(col("doc_id"), col("store_id"), col("_bt"), col("_st"))
+      .as[(Long, Long, String, String)]
+      .flatMap { case (b, s, tb, ts) =>
+        if (jaccard(tb, ts, n) >= tau) Some((b, s)) else None
+      }.toDF("doc_id", "store_id")
+      .groupBy("doc_id").agg(min("store_id").as("dup_of"))
   }
 
   /** Duplicate-cluster resolution: connected components over a near-dup

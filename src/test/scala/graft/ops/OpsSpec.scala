@@ -1453,6 +1453,24 @@ class OpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](TextAnalysis.termDrift(old, nw, 0))
   }
 
+  test("incrementalMinhash: near-dups and copies match min store id; novel and shingle-less pass") {
+    import spark.implicits._
+    def t(p: String, n: Int) = (0 until n).map(j => s"${p}_$j").mkString(" ")
+    val store = ((0L until 30L).map(i => (i, t(s"s$i", 30)))
+      :+ (40L, t("twin", 30)) :+ (41L, t("twin", 30)) // identical store twins
+      :+ (50L, "only two")).toDF("doc_id", "text")    // shingle-less store doc
+    val batch = Seq(
+      (1000L, t("s0", 29)),   // drop-last-word near-dup of store 0
+      (1001L, t("s5", 30)),   // exact copy of store 5
+      (1002L, t("twin", 30)), // matches both twins -> dup_of = min = 40
+      (2000L, t("novel", 30)),// novel
+      (2001L, "only two")     // shingle-less: NEVER a candidate, even vs store 50
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhash(batch, store)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1000L -> 0L, 1001L -> 5L, 1002L -> 40L))
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
