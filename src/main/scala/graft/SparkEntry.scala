@@ -742,8 +742,10 @@ object SparkEntry {
     }),
 
     // incremental near-dup vs a signature store: batch = drop-1-word
-    // mutations of store docs (near-dups), exact copies (jaccard 1), and
-    // fresh docs not in the store (novel) — dup_of = min matching store id
+    // mutations of store docs at +1000000 (near-dups), novel docs 300-349
+    // at +2000000 (no match), exact copies of store docs 100-119 at
+    // +3000000 (jaccard 1) — dup_of = min matching store id; the store
+    // enters as its precomputed signBands table, never re-signed text
     "q87_incremental_minhash" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
       val words = ops.TextAnalysis.words(col("text"))
@@ -755,7 +757,7 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + 2000000L))
         .unionAll(docs.filter(col("doc_id").between(100, 119))
           .withColumn("doc_id", col("doc_id") + 3000000L))
-      Dedup.incrementalMinhash(batch, store)
+      Dedup.incrementalMinhash(batch, Dedup.signBands(store), store)
     }),
 
     // vocabulary drift between two snapshots: docs %5==0 dropped, docs
@@ -1862,7 +1864,10 @@ object SparkEntry {
 
     // directed exact-jaccard restatement (LSH recall ~1 at these params,
     // and every candidate is exact-verified, so the verified output IS
-    // the exact batch x store jaccard match list), min store id per doc
+    // the exact batch x store jaccard match list), min store id per doc.
+    // truncated is the constant 0 here because every planted store bucket
+    // holds far fewer than maxBucket ids — the overflow path is pinned by
+    // the degenerate-bucket ScalaTest instead
     "q87_incremental_minhash" ->
       s"""WITH store AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
           batch AS (
@@ -1887,7 +1892,8 @@ object SparkEntry {
           ssz AS (SELECT doc_id, count(*) AS sz FROM ssh GROUP BY 1),
           inter AS (SELECT b.doc_id AS doc_id, s.doc_id AS store_id, count(*) AS c
                     FROM bsh b JOIN ssh s ON b.shingle = s.shingle GROUP BY 1, 2)
-          SELECT inter.doc_id AS doc_id, min(store_id) AS dup_of
+          SELECT inter.doc_id AS doc_id, min(store_id) AS dup_of,
+                 0 AS truncated
           FROM inter
           JOIN bsz ON bsz.doc_id = inter.doc_id
           JOIN ssz ON ssz.doc_id = inter.store_id

@@ -228,19 +228,23 @@ object Dedup {
     */
   /** MinHash band-signature table: one row per (doc, band) with the band's
     * bucket key — the persisted artifact of an LSH dedup store ([[
-    * minhashLsh]] derives it in-flight; [[incrementalMinhash]] treats the
-    * historical corpus's table as the standing store a daily batch joins
-    * against). One typed map per doc, no shuffle; a doc shorter than `n`
-    * words emits no rows (it has no n-grams to sign).
+    * minhashLsh]] derives it in-flight; [[incrementalMinhash]] joins a
+    * fresh batch against the historical corpus's standing table, which the
+    * ingest pipeline maintains by appending each surviving batch's
+    * signatures). One typed map per doc, no shuffle; a doc shorter than
+    * `n` words — or with NULL text — emits no rows (nothing to sign, and
+    * the never-a-candidate contract for shingle-less docs).
     */
-  private[ops] def bandKeys(docs: DataFrame, n: Int, bands: Int,
-      rowsPerBand: Int): DataFrame = {
+  def signBands(docs: DataFrame, n: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val numPerm = bands * rowsPerBand
     docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val words = text.split("\\s+").filter(_.nonEmpty)
+        val words =
+          if (text == null) Array.empty[String]
+          else text.split("\\s+").filter(_.nonEmpty)
         val shingles: Iterator[String] =
           if (words.length < n) Iterator.empty
           else (0 to words.length - n).iterator.map(i => words.slice(i, i + n).mkString(" "))
@@ -270,7 +274,7 @@ object Dedup {
     import spark.implicits._
 
     val buckets = boundedBuckets(
-      bandKeys(docs, n, bands, rowsPerBand), "doc_id", maxBucket)
+      signBands(docs, n, bands, rowsPerBand), "doc_id", maxBucket)
 
     val candidates = buckets.select(col("ids"), col("truncated"))
       .as[(Seq[Long], Int)]
@@ -297,54 +301,68 @@ object Dedup {
   /** Incremental NEAR-dup detection: flag new-batch documents that are
     * near-duplicates of the historical corpus — [[incrementalExact]]'s
     * semantics lifted from hash equality to MinHash/Jaccard similarity,
-    * the shape of "dedup today's crawl against the all-time corpus"
-    * (re-running [[minhashLsh]] over store+batch would re-sign and
-    * re-bucket the WHOLE store every ingest; here the store contributes
-    * only its standing band-signature table — [[bandKeys]], persisted
-    * once, appended per ingest — and the batch is signed fresh).
+    * the shape of "dedup today's crawl against the all-time corpus".
+    * The store enters through its PRECOMPUTED band-signature table
+    * `storeSig` (one [[signBands]] pass when the store was built, then
+    * appended per surviving ingest — never re-signed here: per-call work
+    * on the store is one scan of its signature TABLE, not a re-hash of
+    * its text) plus a `storeTexts` (doc_id, text) relation consulted only
+    * for the candidate-sized exact-verify lookup.
     *
     * Plan: one typed map signs the batch (no shuffle, O(batch)); the
-    * store's signature table is capped at `maxBucket` ids per bucket
-    * (row_number over the bucket — the [[boundedBuckets]] bound, applied
-    * store-side so a degenerate hot bucket bounds the join fan-out
-    * instead of exploding it); ONE equi-join on the bucket key yields
-    * candidates (batch docs carry <= `bands` buckets each, so candidates
-    * <= |batch| x bands x maxBucket); exact Jaccard against the store
-    * text verifies every candidate; one groupBy(batch id) takes the
-    * minimum matching store id. The batch side is ingest-sized —
-    * broadcastable; the store is touched only through its (pruned)
-    * signature table and the candidate-sized text lookup join.
+    * store signature table is capped at `maxBucket` ids per bucket
+    * (row_number — the [[boundedBuckets]] bound, applied store-side so a
+    * degenerate hot bucket bounds the join fan-out instead of exploding
+    * it; the overflow is COUNTED into a per-bucket flag, never silent);
+    * ONE equi-join on the bucket key yields candidates (batch docs carry
+    * <= `bands` buckets each, so candidates <= |batch| x bands x
+    * maxBucket); exact Jaccard against the store text verifies every
+    * candidate; one groupBy(batch id) takes the minimum matching store
+    * id. The batch side is ingest-sized — broadcastable.
     *
-    * Output: (doc_id, dup_of) — one row per batch doc with at least one
-    * store near-dup at `tau`, dup_of = the smallest matching store id.
-    * Callers anti-join the batch against it to keep the novel docs.
+    * Output: (doc_id, dup_of, truncated) — one row per batch doc with at
+    * least one store near-dup at `tau`; dup_of = the smallest matching
+    * store id; truncated = 1 if any bucket this doc matched through
+    * overflowed `maxBucket` (the store list was cut there, so an even
+    * smaller store match may exist unseen). Callers anti-join the batch
+    * against it to keep the novel docs.
     */
-  def incrementalMinhash(batch: DataFrame, store: DataFrame, n: Int = 3,
-      bands: Int = 16, rowsPerBand: Int = 4, tau: Double = 0.85,
+  def incrementalMinhash(batch: DataFrame, storeSig: DataFrame,
+      storeTexts: DataFrame, n: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4, tau: Double = 0.85,
       maxBucket: Int = 64): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val storeSig = bandKeys(store, n, bands, rowsPerBand)
     val w = Window.partitionBy("bucket").orderBy("doc_id")
-    val cappedStore = storeSig
+    val marked = storeSig
+      .select(col("doc_id").cast("long").as("doc_id"), col("bucket"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= maxBucket)
-      .select(col("bucket"), col("doc_id").as("store_id"))
-    val candidates = bandKeys(batch, n, bands, rowsPerBand)
+      .filter(col("rn") <= maxBucket + 1)
+    val flags = marked.groupBy("bucket")
+      .agg((max("rn") > maxBucket).cast("int").as("_btrunc"))
+    val cappedStore = marked.filter(col("rn") <= maxBucket)
+      .join(flags, Seq("bucket"))
+      .select(col("bucket"), col("doc_id").as("store_id"), col("_btrunc"))
+    val candidates = signBands(batch, n, bands, rowsPerBand)
       .join(cappedStore, Seq("bucket"))
-      .select("doc_id", "store_id").distinct()
+      .groupBy("doc_id", "store_id").agg(max("_btrunc").as("_trunc"))
     val batchTexts = batch.select(col("doc_id").cast("long").as("doc_id"),
       col("text").as("_bt"))
-    val storeTexts = store.select(col("doc_id").cast("long").as("store_id"),
+    val stTexts = storeTexts.select(col("doc_id").cast("long").as("store_id"),
       col("text").as("_st"))
     candidates
-      .join(batchTexts, "doc_id").join(storeTexts, "store_id")
-      .select(col("doc_id"), col("store_id"), col("_bt"), col("_st"))
-      .as[(Long, Long, String, String)]
-      .flatMap { case (b, s, tb, ts) =>
-        if (jaccard(tb, ts, n) >= tau) Some((b, s)) else None
-      }.toDF("doc_id", "store_id")
-      .groupBy("doc_id").agg(min("store_id").as("dup_of"))
+      .join(batchTexts, "doc_id").join(stTexts, "store_id")
+      .select(col("doc_id"), col("store_id"), col("_trunc"), col("_bt"), col("_st"))
+      .as[(Long, Long, Int, String, String)]
+      .flatMap { case (b, s, tr, tb, ts) =>
+        // a NULL store text (signature table out of sync with the text
+        // relation) can never verify — dropped, not an NPE
+        if (tb != null && ts != null && jaccard(tb, ts, n) >= tau)
+          Some((b, s, tr))
+        else None
+      }.toDF("doc_id", "store_id", "_trunc")
+      .groupBy("doc_id").agg(min("store_id").as("dup_of"),
+        max("_trunc").as("truncated"))
   }
 
   /** Duplicate-cluster resolution: connected components over a near-dup
@@ -513,8 +531,11 @@ object Dedup {
       .select(col("doc_id"),
         concat_ws("\n", transform(col("_ps"), p => p("line"))).as(textCol),
         col("_n_kept"))
+    // NULL text has no lines: _n0 coalesces to 0 (size(split(NULL)) is
+    // NULL under ANSI, -1 under legacy — both wrong as a count), so the
+    // output row is (id, '', 0), keeping the 1:1 substitution contract
     docs.select(col(idCol).as("doc_id"),
-        size(split(col(textCol), "\n")).cast("long").as("_n0"))
+        coalesce(size(split(col(textCol), "\n")).cast("long"), lit(0L)).as("_n0"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col(textCol), lit("")).as(textCol),

@@ -223,8 +223,10 @@ object Sampling {
   /** Distributed exclusive prefix sum — the shared skeleton of
     * [[shuffleOrder]], [[packShards]] and [[packTokenBlocks]]. The input
     * must carry a non-negative LongType `_w` weight column; rows are laid
-    * out in global `sortCols` order (range partition on the FIRST sort
-    * column, local sort on all of them) and every row gains `_off` = the
+    * out in global `sortCols` order (range partition on the FULL sort
+    * tuple, local sort on all of them — so a low-cardinality leading
+    * column still spreads across partitions, the property
+    * [[groupedRank]] depends on) and every row gains `_off` = the
     * sum of `_w` over all preceding rows. [[packShards]]'s scaladoc
     * explains each step: the eager localCheckpoint pins the SAMPLED range
     * bounds so both passes read one materialized layout (a lost block
@@ -551,7 +553,11 @@ object Sampling {
   def shardManifest(df: DataFrame, budget: Long,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val weighted = df.select(col(idCol), length(col(textCol)).cast("long").as("_w"),
+    // NULL text weighs 0 (the prefix-sum contract requires non-null _w;
+    // the oracle's SUM skips NULLs the same way) and contributes no
+    // checksum term (bit_xor skips the NULL _h32 in both engines)
+    val weighted = df.select(col(idCol),
+      coalesce(length(col(textCol)).cast("long"), lit(0L)).as("_w"),
       hash32(concat(col(idCol).cast("string"), lit(":"), md5(col(textCol))))
         .as("_h32"))
     exclusivePrefixSum(weighted, sortCols = Seq(idCol))

@@ -443,7 +443,9 @@ object TextAnalysis {
     * a spam injection, a crawler source flip, or a dedup pass each leave a
     * distinct signature in the df deltas). Document frequency (distinct
     * per doc), not term frequency: one pathological doc repeating a word a
-    * million times cannot dominate the drift report. Integer counts only.
+    * million times cannot dominate the drift report (no id column needed:
+    * array_distinct within each row IS the per-document distinct).
+    * Integer counts only.
     *
     * Scale shape: two independent df aggregations (distinct-per-doc
     * explode, then groupBy(term) with map-side partials — [[topTerms]]'s
@@ -455,7 +457,7 @@ object TextAnalysis {
     * Output: (term, df_old, df_new, delta), k rows.
     */
   def termDrift(oldDf: DataFrame, newDf: DataFrame, k: Int = 20,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text"): DataFrame = {
     require(k > 0, "k must be positive")
     def df(d: DataFrame, out: String) = d
       .select(explode(array_distinct(words(col(textCol)))).as("term"))

@@ -1400,6 +1400,13 @@ class OpsSpec extends AnyFunSuite {
     val m4 = Sampling.shardManifest(swapped, budget = 100L)
       .orderBy("shard_id").collect().map(_.toSeq)
     assert(m1.head != m4.head)
+    // NULL text weighs 0 and adds no checksum term — no NPE in the
+    // prefix sum (its _w contract is non-null)
+    val withNull = docs.unionAll(
+      Seq((999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val mN = Sampling.shardManifest(withNull, budget = 100L)
+      .orderBy("shard_id").collect()
+    assert(mN.map(_.getLong(1)).sum == 81L)
   }
 
   test("removeFrequentLines: >maxDocFreq removed everywhere, short lines bypass, order kept") {
@@ -1429,6 +1436,12 @@ class OpsSpec extends AnyFunSuite {
     val t = Dedup.removeFrequentLines(twice, maxDocFreq = 2)
       .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
     assert(t(1L) == 0L && t(2L) == 0L)
+    // NULL text: zero lines, zero removed, empty rebuild — never NULL math
+    val withNull = docs.unionAll(
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val n9 = Dedup.removeFrequentLines(withNull, maxDocFreq = 2)
+      .filter(col("doc_id") === 9L).as[(Long, String, Long)].head()
+    assert(n9 == ((9L, "", 0L)))
     assertThrows[IllegalArgumentException](Dedup.removeFrequentLines(docs, 0))
   }
 
@@ -1464,11 +1477,25 @@ class OpsSpec extends AnyFunSuite {
       (1001L, t("s5", 30)),   // exact copy of store 5
       (1002L, t("twin", 30)), // matches both twins -> dup_of = min = 40
       (2000L, t("novel", 30)),// novel
-      (2001L, "only two")     // shingle-less: NEVER a candidate, even vs store 50
+      (2001L, "only two"),    // shingle-less: NEVER a candidate, even vs store 50
+      (2002L, null.asInstanceOf[String]) // NULL text: signs nothing, no NPE
     ).toDF("doc_id", "text")
-    val out = Dedup.incrementalMinhash(batch, store)
-      .as[(Long, Long)].collect().toMap
-    assert(out == Map(1000L -> 0L, 1001L -> 5L, 1002L -> 40L))
+    val out = Dedup.incrementalMinhash(batch, Dedup.signBands(store), store)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(1000L -> ((0L, 0)), 1001L -> ((5L, 0)), 1002L -> ((40L, 0))))
+  }
+
+  test("incrementalMinhash: hot store bucket capped, overflow surfaces as truncated=1") {
+    import spark.implicits._
+    def t(p: String, n: Int) = (0 until n).map(j => s"${p}_$j").mkString(" ")
+    // 30 identical store docs share every band bucket; cap at 8 keeps the
+    // 8 smallest ids per bucket and marks the bucket overflowed
+    val store = (0L until 30L).map(i => (i, t("same", 30))).toDF("doc_id", "text")
+    val batch = Seq((100L, t("same", 30))).toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhash(
+        batch, Dedup.signBands(store), store, maxBucket = 8)
+      .as[(Long, Long, Int)].collect()
+    assert(out.toSeq == Seq((100L, 0L, 1))) // min SURVIVING id, flagged
   }
 
   private def md5Hex(s: String): String =
