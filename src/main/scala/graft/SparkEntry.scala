@@ -601,6 +601,12 @@ object SparkEntry {
       Multimodal.mediaCaptionPairs(extractFmt(s, dir, Seq(3, 4, 8, 9)))
         .select("doc_id", "media_ref", "caption")),
 
+    // contrastive negatives for the caption pairs: next caption in
+    // md5(pair) order, last wraps to first, same-doc collisions flagged
+    "q91_caption_negatives" -> ((s, dir) =>
+      Multimodal.captionContrastiveNegatives(
+        Multimodal.mediaCaptionPairs(extractFmt(s, dir, Seq(3, 4, 8, 9))))),
+
     // interleaved-sequence rendering: one training string per doc, media
     // spans as a sentinel token, span order preserved (map-only projection)
     "q65_render_interleaved" -> ((s, dir) =>
@@ -758,6 +764,43 @@ object SparkEntry {
         .unionAll(docs.filter(col("doc_id").between(100, 119))
           .withColumn("doc_id", col("doc_id") + 3000000L))
       Dedup.incrementalMinhash(batch, Dedup.signBands(store), store)
+    }),
+
+    // domain quality rollup + blocklist induction: even-id docs (= the
+    // even-numbered sources, since source = doc_id % 20) gain a stopword
+    // prefix making them fluent -> those domains clear the 50% bar; odd
+    // sources stay mostly non-fluent -> blocked; a 2-doc 'tinysrc' domain
+    // is 0% fluent but under minDocs -> never blocked
+    "q89_domain_quality" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text", "source")
+      val planted = base.withColumn("text",
+        when(col("doc_id") % 2 === 0,
+          concat(lit("the of and to a in is that it for the of and to a in is that it for "),
+            col("text"))).otherwise(col("text")))
+        .unionAll(base.filter(col("doc_id") < 2)
+          .select(col("doc_id") + 1000000L, lit("tiny corpus page"), lit("tinysrc")))
+      WebOps.domainQuality(planted)
+    }),
+
+    // storage-level media dedup: a.gif payloads collide in 16 md5-prefix
+    // groups (re-hosted copies), b.gif payloads are unique — duplicate
+    // refs re-point at the group's min ref, span order and text untouched
+    "q90_dedup_media" -> ((s, dir) => {
+      val ext = extractFmt(s, dir, Seq(3, 4))
+      val refs = ext.select(explode(col("spans")).as("sp"))
+        .filter(col("sp.kind") === "media")
+        .select(col("sp.media_ref").as("media_ref")).distinct()
+      val media = refs.withColumn("content_hash",
+        md5(when(col("media_ref").endsWith("a.gif"),
+          concat(lit("payload-a-"), substring(md5(col("media_ref")), 1, 1)))
+          .otherwise(concat(lit("payload-b-"), col("media_ref")))))
+      Multimodal.dedupMediaPayloads(ext, media)
+        .select(col("doc_id"), col("n_repointed"),
+          posexplode(col("spans")).as(Seq("pos", "sp")))
+        .select(col("doc_id"), col("sp.offset").as("span_offset"),
+          col("sp.kind").as("kind"), col("sp.text").as("text"),
+          col("sp.media_ref").as("media_ref"), col("n_repointed"))
     }),
 
     // vocabulary drift between two snapshots: docs %5==0 dropped, docs
@@ -1569,6 +1612,30 @@ object SparkEntry {
                       ELSE NULL END
           FROM dp""",
 
+    // q64's pairs (null captions excluded) in md5(pair) order; negative =
+    // next caption, cyclic; the window restatement is oracle-scale only —
+    // the Spark plan is the distributed prefix rank + one equi-join
+    "q91_caption_negatives" ->
+      s"""WITH dx AS (SELECT doc_id FROM documents WHERE doc_id % 10 IN (3, 4)),
+          dp AS (SELECT doc_id, w, (len(w) + 1) // 2 AS h
+                 FROM (SELECT doc_id, $WORDS AS w FROM documents WHERE doc_id % 10 IN (8, 9)) t),
+          pairs AS (
+            SELECT $K AS doc_id, 'fig' || $K || 'a.gif' AS media_ref,
+                   'NOTES ' || $K AS caption FROM dx
+            UNION ALL SELECT $K, 'fig' || $K || 'b.gif', 'NOTES ' || $K FROM dx
+            UNION ALL SELECT $K, 'pimg' || $K || '.png',
+                   CASE WHEN len(w) > h THEN array_to_string(w[h+1:len(w)], ' ')
+                        ELSE NULL END
+            FROM dp),
+          r AS (SELECT doc_id, media_ref, caption,
+                  row_number() OVER (ORDER BY md5(doc_id || ':' || media_ref),
+                                     doc_id || ':' || media_ref) - 1 AS pos,
+                  count(*) OVER () AS n
+                FROM pairs WHERE caption IS NOT NULL)
+          SELECT a.doc_id, a.media_ref, a.caption, b.caption AS neg_caption,
+                 (a.doc_id = b.doc_id)::INT AS same_doc
+          FROM r a JOIN r b ON b.pos = (a.pos + 1) % a.n""",
+
     // the contract stated directly: the 40 smallest md5(doc_id) per lang
     // (row_number form; the Spark plan gets there without any window)
     "q58_exactk_sample" ->
@@ -1899,6 +1966,65 @@ object SparkEntry {
           JOIN ssz ON ssz.doc_id = inter.store_id
           WHERE c * 1.0 / (bsz.sz + ssz.sz - c) >= 0.85
           GROUP BY inter.doc_id""",
+
+    // q20's exact quality CASE per doc, grouped by source; blocked =
+    // integer half test gated on minDocs=3
+    "q89_domain_quality" ->
+      s"""WITH d AS (
+            SELECT source,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'the of and to a in is that it for the of and to a in is that it for ' || text
+                        ELSE text END AS text
+            FROM documents
+            UNION ALL
+            SELECT 'tinysrc' AS source, 'tiny corpus page' AS text
+            FROM documents WHERE doc_id < 2),
+          q AS (
+            SELECT source,
+              CASE WHEN len($WORDS) < 16 THEN 'short'
+                   WHEN len(list_filter($WORDS, w -> list_contains(['the','of','and','to','a','in','is','that','it','for'], w))) * 10 >= len($WORDS) THEN 'fluent'
+                   ELSE 'list-like' END AS b
+            FROM d)
+          SELECT source AS domain, count(*) AS n_docs,
+                 sum(CASE WHEN b = 'fluent' THEN 1 ELSE 0 END)::BIGINT AS n_fluent,
+                 sum(CASE WHEN b = 'short' THEN 1 ELSE 0 END)::BIGINT AS n_short,
+                 sum(CASE WHEN b = 'list-like' THEN 1 ELSE 0 END)::BIGINT AS n_listlike,
+                 (count(*) >= 3 AND
+                  sum(CASE WHEN b = 'fluent' THEN 1 ELSE 0 END) * 2 < count(*))::INT AS blocked
+          FROM q GROUP BY 1""",
+
+    // q80's span layout (minus the pii plant) with a-figure refs replaced
+    // by their payload group's min ref; payload groups = md5-prefix of the
+    // ref for a.gif (16 collision groups), unique for b.gif
+    "q90_dedup_media" ->
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id % 10 IN (3, 4)),
+          t AS (SELECT $K AS doc_id,
+                  'I. INTRODUCTION ' || $C || ' Manual Entry 1 TABLE ' || $K || '. CAP ' || $K AS s0,
+                  'NOTES ' || $K AS s3,
+                  'APPENDIX ' || $K || ' APP ' || $W0 AS s4
+                FROM d),
+          refs AS (SELECT 'fig' || doc_id || 'a.gif' AS ref FROM t
+                   UNION ALL
+                   SELECT 'fig' || doc_id || 'b.gif' AS ref FROM t),
+          m AS (SELECT ref,
+                  md5(CASE WHEN ref LIKE '%a.gif'
+                           THEN 'payload-a-' || substr(md5(ref), 1, 1)
+                           ELSE 'payload-b-' || ref END) AS h
+                FROM refs),
+          canon AS (SELECT h, min(ref) AS cref FROM m GROUP BY 1),
+          mp AS (SELECT ref, cref FROM m JOIN canon USING (h)),
+          j AS (SELECT t.*, ma.cref AS ca, mb.cref AS cb,
+                  ((CASE WHEN ma.cref <> 'fig' || t.doc_id || 'a.gif' THEN 1 ELSE 0 END)
+                 + (CASE WHEN mb.cref <> 'fig' || t.doc_id || 'b.gif' THEN 1 ELSE 0 END))::BIGINT AS n_repointed
+                FROM t
+                JOIN mp ma ON ma.ref = 'fig' || t.doc_id || 'a.gif'
+                JOIN mp mb ON mb.ref = 'fig' || t.doc_id || 'b.gif')
+          SELECT doc_id, 0 AS span_offset, 'text' AS kind, s0 AS text,
+                 NULL AS media_ref, n_repointed FROM j
+          UNION ALL SELECT doc_id, 1, 'media', NULL, ca, n_repointed FROM j
+          UNION ALL SELECT doc_id, 2, 'media', NULL, cb, n_repointed FROM j
+          UNION ALL SELECT doc_id, 3, 'text', s3, NULL, n_repointed FROM j
+          UNION ALL SELECT doc_id, 4, 'text', s4, NULL, n_repointed FROM j""",
 
     // document frequency per snapshot (distinct per doc), full-outer join,
     // top-k by (|delta| desc, term asc) — a deterministic total order

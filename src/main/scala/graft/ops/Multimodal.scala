@@ -186,6 +186,45 @@ object Multimodal {
       .select(col("doc_id"), col("media_ref"), col("caption"))
   }
 
+  /** Contrastive negatives for (media, caption) training pairs — the
+    * third leg of a CLIP-style dataset after [[mediaCaptionPairs]]
+    * (positives) and [[dedupMediaPayloads]] (storage): each pair gets a
+    * deterministic negative caption, the caption of the NEXT pair in
+    * md5(pair) order (a fixed global shuffle, so negatives are unbiased
+    * "random other captions" yet re-runs reproduce them bit-for-bit), the
+    * last pair wrapping to the first. A negative that happens to come
+    * from the same document is FLAGGED (`same_doc`), not silently
+    * re-drawn — the caller decides whether to drop or re-pair those.
+    * Null-caption pairs (trailing media with no following text) are
+    * excluded: they can serve as neither anchor nor negative.
+    *
+    * Scale shape: the global order is [[Sampling.shuffleOrder]]'s
+    * distributed two-pass prefix rank (range partition + driver
+    * partition-offsets — never a global one-task window); the neighbor is
+    * ONE self-equi-join on the rank; the wrap row is a one-row filter
+    * broadcast to every task. No global sort, no window, no driver state
+    * beyond one row per partition.
+    *
+    * Output: (doc_id, media_ref, caption, neg_caption, same_doc).
+    */
+  def captionContrastiveNegatives(pairs: DataFrame): DataFrame = {
+    val nn = pairs.filter(col("caption").isNotNull)
+      .withColumn("pair_id",
+        concat(col("doc_id").cast("string"), lit(":"), col("media_ref")))
+    val ranked = Sampling.shuffleOrder(nn.select("pair_id"), "pair_id")
+    val wp = nn.join(ranked, "pair_id")
+    val neg = wp.select((col("pos") - 1).as("pos"),
+      col("caption").as("_negcap"), col("doc_id").as("_negdoc"))
+    val wrap = wp.filter(col("pos") === 0)
+      .select(col("caption").as("_wrapcap"), col("doc_id").as("_wrapdoc"))
+    wp.join(neg, Seq("pos"), "left")
+      .crossJoin(broadcast(wrap))
+      .select(col("doc_id"), col("media_ref"), col("caption"),
+        coalesce(col("_negcap"), col("_wrapcap")).as("neg_caption"),
+        (col("doc_id") === coalesce(col("_negdoc"), col("_wrapdoc")))
+          .cast("int").as("same_doc"))
+  }
+
   /** Span-aware PII scrub over the interleaved model: redact
     * [[graft.ops.TextAnalysis.scrubPii]]'s five classes inside TEXT spans
     * while leaving media spans, span order, and offsets untouched — the
@@ -201,6 +240,58 @@ object Multimodal {
     * a map-only codegen'd projection, no explode, no shuffle, no per-row
     * state; cost is O(total span text) per document at any corpus size.
     */
+  /** Storage-level media dedup over a content-addressed media table: when
+    * several media_refs point at byte-identical payloads (mirrored
+    * figures, re-hosted images — the multimodal analog of exact text
+    * dedup), the corpus should store ONE copy and every document should
+    * reference it. `media` is (media_ref, content_hash) — the hash a
+    * content-addressable store computes at ingest (for the stub-payload
+    * pipeline, md5 of [[synthBytes]] input). The canonical ref per hash is
+    * the minimum media_ref (deterministic, re-run stable); every media
+    * span is re-pointed at its canonical.
+    *
+    * Scale shape: canonical selection is ONE groupBy(content_hash) with a
+    * min — map-side combined, a billion copies of one payload cost each
+    * task one buffer row; the ref->canonical mapping joins the exploded
+    * spans on media_ref (mapping is dedup-output-sized — AQE broadcasts
+    * it when small); the per-doc rebuild is one groupBy(doc_id) whose
+    * buffer is bounded by the doc's own span count. Docs with no media
+    * (or no spans) ride through unchanged.
+    *
+    * Output: the input docs with `spans` re-pointed plus `n_repointed`
+    * (spans whose ref changed).
+    */
+  def dedupMediaPayloads(extracted: DataFrame, media: DataFrame,
+      spansCol: String = "spans"): DataFrame = {
+    val canon = media.groupBy("content_hash")
+      .agg(min("media_ref").as("_canon"))
+    val mapping = media.join(canon, "content_hash")
+      .select(col("media_ref").as("_ref"), col("_canon"))
+      .distinct()
+    val exploded = extracted.select(col("doc_id"),
+      posexplode(col(spansCol)).as(Seq("pos", "sp")))
+    val repointed = exploded
+      .join(mapping, exploded("sp.media_ref") === mapping("_ref"), "left")
+      .select(col("doc_id"), col("pos"),
+        struct(
+          col("sp.kind").as("kind"),
+          col("sp.text").as("text"),
+          coalesce(col("_canon"), col("sp.media_ref")).as("media_ref"),
+          col("sp.offset").as("offset")).as("sp"),
+        (col("_canon").isNotNull && !(col("_canon") <=> col("sp.media_ref")))
+          .cast("long").as("_chg"))
+    val rebuilt = repointed.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("sp")))).as("_ps"),
+        sum("_chg").as("n_repointed"))
+      .select(col("doc_id"), transform(col("_ps"), p => p("sp")).as(spansCol),
+        col("n_repointed"))
+    val spanArrayType = extracted.schema(extracted.schema.fieldIndex(spansCol)).dataType
+    extracted.drop(spansCol)
+      .join(rebuilt, Seq("doc_id"), "left")
+      .withColumn(spansCol, coalesce(col(spansCol), array().cast(spanArrayType)))
+      .withColumn("n_repointed", coalesce(col("n_repointed"), lit(0L)))
+  }
+
   def scrubSpans(extracted: DataFrame, spansCol: String = "spans"): DataFrame = {
     val spans = col(spansCol)
     extracted

@@ -139,4 +139,38 @@ object WebOps {
         sum(when(col("_c") > 1, col("_c")).otherwise(lit(0L))).as("n_dup_docs"),
         max("_c").as("max_copies"))
   }
+
+  /** Domain-level quality rollup + blocklist induction (the
+    * RefinedWeb/C4-style "a domain whose pages are mostly junk is junk"
+    * rule): per-document quality buckets ([[TextAnalysis.quality]]'s
+    * short/fluent/list-like CASE — the SAME contract q20 gates) are
+    * aggregated per domain, and a domain is `blocked` when it has at
+    * least `minDocs` documents and FEWER than half of them are fluent —
+    * integer arithmetic (`n_fluent * 2 < n_docs`), so the threshold is
+    * exact cross-engine. The blocked list feeds [[blocklistFilter]]; the
+    * rollup is the audit trail for why a domain was cut.
+    *
+    * Scale shape: per-doc buckets are pure codegen'd column expressions
+    * on the scan; then ONE groupBy(domain) whose every aggregate is a
+    * constant-size conditional count with map-side partials. A domain
+    * with a billion pages costs each map task one buffer row. No window,
+    * no join, no driver state.
+    *
+    * Output: (domain, n_docs, n_fluent, n_short, n_listlike, blocked).
+    */
+  def domainQuality(docs: DataFrame, minDocs: Long = 3,
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    require(minDocs >= 1, "minDocs must be >= 1")
+    def bucketCount(b: String) =
+      sum(when(col("quality_bucket") === b, 1L).otherwise(0L))
+    TextAnalysis.quality(docs, textCol)
+      .groupBy(col(srcCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        bucketCount("fluent").as("n_fluent"),
+        bucketCount("short").as("n_short"),
+        bucketCount("list-like").as("n_listlike"))
+      .withColumn("blocked",
+        (col("n_docs") >= minDocs && col("n_fluent") * 2 < col("n_docs"))
+          .cast("int"))
+  }
 }

@@ -1498,6 +1498,66 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((100L, 0L, 1))) // min SURVIVING id, flagged
   }
 
+  test("domainQuality: 50% fluent bar, minDocs guard, exact bucket counts") {
+    import spark.implicits._
+    val fluent = "the of and to a in is that it for x1 x2 x3 x4 x5 x6" // 16 toks, 10 stop
+    val listy = (1 to 16).map(i => s"item$i").mkString(" ")            // 16 toks, 0 stop
+    val docs = (
+      (1 to 4).map(i => (i.toLong, if (i <= 3) fluent else listy, "good.com")) ++
+      (1 to 4).map(i => (10L + i, if (i <= 1) fluent else listy, "junk.com")) ++
+      Seq((20L, "hi", "tiny.com"), (21L, listy, "tiny.com"))
+    ).toDF("doc_id", "text", "source")
+    val out = WebOps.domainQuality(docs, minDocs = 3)
+      .as[(String, Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out("good.com") == ((4L, 3L, 0L, 1L, 0))) // 3/4 fluent -> clear
+    assert(out("junk.com") == ((4L, 1L, 0L, 3L, 1))) // 1/4 fluent -> blocked
+    assert(out("tiny.com") == ((2L, 0L, 1L, 1L, 0))) // under minDocs -> never
+    assertThrows[IllegalArgumentException](WebOps.domainQuality(docs, 0))
+  }
+
+  test("dedupMediaPayloads: dup payloads re-point to min ref; orphans, no-media, empty survive") {
+    import spark.implicits._
+    import graft.core.Span
+    val docs = Seq(
+      ("d1", Seq(Span("text", "hello", null, 0), Span("media", null, "m1", 1),
+        Span("media", null, "m2", 2))),
+      ("d2", Seq(Span("media", null, "m3", 0))),
+      ("d3", Seq.empty[Span]),
+      ("d4", Seq(Span("text", "only text", null, 0),
+        Span("media", null, "orphan", 1)))
+    ).toDF("doc_id", "spans")
+    val media = Seq(("m1", "h1"), ("m2", "h2"), ("m3", "h1"))
+      .toDF("media_ref", "content_hash")
+    val out = Multimodal.dedupMediaPayloads(docs, media)
+      .as[(String, Seq[Span], Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("d1") == ((Seq(Span("text", "hello", null, 0),
+      Span("media", null, "m1", 1), Span("media", null, "m2", 2)), 0L)))
+    assert(out("d2") == ((Seq(Span("media", null, "m1", 0)), 1L))) // m3 -> m1
+    assert(out("d3") == ((Seq.empty[Span], 0L)))                   // empty rides
+    assert(out("d4") == ((Seq(Span("text", "only text", null, 0),
+      Span("media", null, "orphan", 1)), 0L)))                     // orphan kept
+  }
+
+  test("captionContrastiveNegatives: cyclic md5-order neighbor, wrap, same-doc flag") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("d1", "m1", "cap one"), ("d1", "m2", "cap two"),
+      ("d2", "m3", "cap three"), ("d3", "m4", null)
+    ).toDF("doc_id", "media_ref", "caption")
+    val out = Multimodal.captionContrastiveNegatives(pairs)
+      .as[(String, String, String, String, Int)].collect()
+    assert(out.length == 3) // null caption excluded
+    // expected: cyclic next in md5(doc:ref) order, computed independently
+    val ordered = Seq(("d1", "m1", "cap one"), ("d1", "m2", "cap two"),
+      ("d2", "m3", "cap three")).sortBy(p => md5Hex(s"${p._1}:${p._2}"))
+    val want = ordered.zipWithIndex.map { case ((d, m, c), i) =>
+      val (nd, _, nc) = ordered((i + 1) % 3)
+      (d, m, c, nc, if (d == nd) 1 else 0)
+    }.toSet
+    assert(out.toSet == want)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
