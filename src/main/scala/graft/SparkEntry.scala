@@ -1627,11 +1627,13 @@ object SparkEntry {
                    CASE WHEN len(w) > h THEN array_to_string(w[h+1:len(w)], ' ')
                         ELSE NULL END
             FROM dp),
+          uniq AS (SELECT doc_id, media_ref, min(caption) AS caption
+                   FROM pairs WHERE caption IS NOT NULL GROUP BY 1, 2),
           r AS (SELECT doc_id, media_ref, caption,
-                  row_number() OVER (ORDER BY md5(doc_id || ':' || media_ref),
-                                     doc_id || ':' || media_ref) - 1 AS pos,
+                  row_number() OVER (ORDER BY md5(md5(doc_id) || md5(media_ref)),
+                                     md5(doc_id) || md5(media_ref)) - 1 AS pos,
                   count(*) OVER () AS n
-                FROM pairs WHERE caption IS NOT NULL)
+                FROM uniq)
           SELECT a.doc_id, a.media_ref, a.caption, b.caption AS neg_caption,
                  (a.doc_id = b.doc_id)::INT AS same_doc
           FROM r a JOIN r b ON b.pos = (a.pos + 1) % a.n""",

@@ -196,23 +196,32 @@ object Multimodal {
     * from the same document is FLAGGED (`same_doc`), not silently
     * re-drawn — the caller decides whether to drop or re-pair those.
     * Null-caption pairs (trailing media with no following text) are
-    * excluded: they can serve as neither anchor nor negative.
+    * excluded (they can serve as neither anchor nor negative), and
+    * duplicate (doc, media_ref) pairs — a doc whose span list references
+    * the same media twice — collapse to their minimum caption, so the
+    * ranked key is genuinely unique (the key itself is md5(doc)||md5(ref):
+    * fixed-width digests concatenate unambiguously, where a delimiter
+    * could collide on ids containing the delimiter).
     *
     * Scale shape: the global order is [[Sampling.shuffleOrder]]'s
     * distributed two-pass prefix rank (range partition + driver
     * partition-offsets — never a global one-task window); the neighbor is
     * ONE self-equi-join on the rank; the wrap row is a one-row filter
-    * broadcast to every task. No global sort, no window, no driver state
-    * beyond one row per partition.
+    * broadcast to every task. The ranked relation is eagerly
+    * localCheckpointed ONCE — it feeds three branches (output, neighbor,
+    * wrap), which would otherwise re-execute the whole upstream pairs
+    * plan per branch. No global sort, no window, no driver state beyond
+    * one row per partition.
     *
     * Output: (doc_id, media_ref, caption, neg_caption, same_doc).
     */
   def captionContrastiveNegatives(pairs: DataFrame): DataFrame = {
     val nn = pairs.filter(col("caption").isNotNull)
+      .groupBy("doc_id", "media_ref").agg(min("caption").as("caption"))
       .withColumn("pair_id",
-        concat(col("doc_id").cast("string"), lit(":"), col("media_ref")))
+        concat(md5(col("doc_id").cast("string")), md5(col("media_ref"))))
     val ranked = Sampling.shuffleOrder(nn.select("pair_id"), "pair_id")
-    val wp = nn.join(ranked, "pair_id")
+    val wp = nn.join(ranked, "pair_id").localCheckpoint()
     val neg = wp.select((col("pos") - 1).as("pos"),
       col("caption").as("_negcap"), col("doc_id").as("_negdoc"))
     val wrap = wp.filter(col("pos") === 0)
@@ -240,6 +249,21 @@ object Multimodal {
     * a map-only codegen'd projection, no explode, no shuffle, no per-row
     * state; cost is O(total span text) per document at any corpus size.
     */
+  def scrubSpans(extracted: DataFrame, spansCol: String = "spans"): DataFrame = {
+    val spans = col(spansCol)
+    extracted
+      .withColumn("n_pii", aggregate(spans, lit(0),
+        (acc, s) => acc + when(s("kind") === "text" && s("text").isNotNull,
+          TextAnalysis.piiCount(s("text"))).otherwise(lit(0))))
+      .withColumn(spansCol, transform(spans, s =>
+        struct(
+          s("kind").as("kind"),
+          when(s("kind") === "text", TextAnalysis.scrubPii(s("text")))
+            .otherwise(s("text")).as("text"),
+          s("media_ref").as("media_ref"),
+          s("offset").as("offset"))))
+  }
+
   /** Storage-level media dedup over a content-addressed media table: when
     * several media_refs point at byte-identical payloads (mirrored
     * figures, re-hosted images — the multimodal analog of exact text
@@ -248,15 +272,20 @@ object Multimodal {
     * content-addressable store computes at ingest (for the stub-payload
     * pipeline, md5 of [[synthBytes]] input). The canonical ref per hash is
     * the minimum media_ref (deterministic, re-run stable); every media
-    * span is re-pointed at its canonical.
+    * span is re-pointed at its canonical. A ref appearing under SEVERAL
+    * hashes (a re-ingested payload whose bytes changed) resolves to the
+    * minimum canonical — one mapping row per ref BY CONSTRUCTION, so a
+    * dirty media table can never fan a span out into duplicates.
     *
     * Scale shape: canonical selection is ONE groupBy(content_hash) with a
     * min — map-side combined, a billion copies of one payload cost each
-    * task one buffer row; the ref->canonical mapping joins the exploded
-    * spans on media_ref (mapping is dedup-output-sized — AQE broadcasts
-    * it when small); the per-doc rebuild is one groupBy(doc_id) whose
-    * buffer is bounded by the doc's own span count. Docs with no media
-    * (or no spans) ride through unchanged.
+    * task one buffer row; the ref->canonical mapping collapses to one row
+    * per ref by the same aggregation shape and joins the exploded spans
+    * on media_ref (mapping is dedup-output-sized — AQE broadcasts it when
+    * small); the per-doc rebuild is one groupBy(doc_id) whose buffer is
+    * bounded by the doc's own span count. Docs with an EMPTY spans array
+    * come back empty, and a NULL spans array stays NULL — "extraction
+    * produced nothing" is not rewritten into "zero spans".
     *
     * Output: the input docs with `spans` re-pointed plus `n_repointed`
     * (spans whose ref changed).
@@ -266,8 +295,7 @@ object Multimodal {
     val canon = media.groupBy("content_hash")
       .agg(min("media_ref").as("_canon"))
     val mapping = media.join(canon, "content_hash")
-      .select(col("media_ref").as("_ref"), col("_canon"))
-      .distinct()
+      .groupBy(col("media_ref").as("_ref")).agg(min("_canon").as("_canon"))
     val exploded = extracted.select(col("doc_id"),
       posexplode(col(spansCol)).as(Seq("pos", "sp")))
     val repointed = exploded
@@ -286,24 +314,13 @@ object Multimodal {
       .select(col("doc_id"), transform(col("_ps"), p => p("sp")).as(spansCol),
         col("n_repointed"))
     val spanArrayType = extracted.schema(extracted.schema.fieldIndex(spansCol)).dataType
-    extracted.drop(spansCol)
+    extracted.withColumn("_had", col(spansCol).isNotNull).drop(spansCol)
       .join(rebuilt, Seq("doc_id"), "left")
-      .withColumn(spansCol, coalesce(col(spansCol), array().cast(spanArrayType)))
+      .withColumn(spansCol,
+        when(col("_had"), coalesce(col(spansCol), array().cast(spanArrayType))))
+      // the count stays a count (0) even for NULL-spans docs, matching the
+      // sibling ops' null policy (removeFrequentLines returns 0 removed)
       .withColumn("n_repointed", coalesce(col("n_repointed"), lit(0L)))
-  }
-
-  def scrubSpans(extracted: DataFrame, spansCol: String = "spans"): DataFrame = {
-    val spans = col(spansCol)
-    extracted
-      .withColumn("n_pii", aggregate(spans, lit(0),
-        (acc, s) => acc + when(s("kind") === "text" && s("text").isNotNull,
-          TextAnalysis.piiCount(s("text"))).otherwise(lit(0))))
-      .withColumn(spansCol, transform(spans, s =>
-        struct(
-          s("kind").as("kind"),
-          when(s("kind") === "text", TextAnalysis.scrubPii(s("text")))
-            .otherwise(s("text")).as("text"),
-          s("media_ref").as("media_ref"),
-          s("offset").as("offset"))))
+      .drop("_had")
   }
 }

@@ -1539,18 +1539,36 @@ class OpsSpec extends AnyFunSuite {
       Span("media", null, "orphan", 1)), 0L)))                     // orphan kept
   }
 
+  test("dedupMediaPayloads: multi-hash ref resolves to one min canonical; NULL spans stay NULL") {
+    import spark.implicits._
+    import graft.core.Span
+    val docs = Seq(
+      ("d1", Seq(Span("media", null, "m2", 0))),
+      ("d2", null.asInstanceOf[Seq[Span]])
+    ).toDF("doc_id", "spans")
+    // m2 appears under two hashes (re-ingested payload): h2's canon is m2
+    // itself, hX's canon is m0 -> ONE mapping row, min canonical m0
+    val media = Seq(("m2", "h2"), ("m2", "hX"), ("m0", "hX"))
+      .toDF("media_ref", "content_hash")
+    val out = Multimodal.dedupMediaPayloads(docs, media)
+      .as[(String, Seq[Span], Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("d1") == ((Seq(Span("media", null, "m0", 0)), 1L))) // no fan-out
+    assert(out("d2")._1 == null && out("d2")._2 == 0L) // NULL preserved
+  }
+
   test("captionContrastiveNegatives: cyclic md5-order neighbor, wrap, same-doc flag") {
     import spark.implicits._
     val pairs = Seq(
       ("d1", "m1", "cap one"), ("d1", "m2", "cap two"),
-      ("d2", "m3", "cap three"), ("d3", "m4", null)
+      ("d2", "m3", "cap three"), ("d3", "m4", null),
+      ("d2", "m3", "cap zero") // dup (doc, ref): min caption wins, no fan-out
     ).toDF("doc_id", "media_ref", "caption")
     val out = Multimodal.captionContrastiveNegatives(pairs)
       .as[(String, String, String, String, Int)].collect()
-    assert(out.length == 3) // null caption excluded
-    // expected: cyclic next in md5(doc:ref) order, computed independently
+    assert(out.length == 3) // null caption excluded, dup pair collapsed
+    // expected: cyclic next in md5(md5(doc)||md5(ref)) order
     val ordered = Seq(("d1", "m1", "cap one"), ("d1", "m2", "cap two"),
-      ("d2", "m3", "cap three")).sortBy(p => md5Hex(s"${p._1}:${p._2}"))
+      ("d2", "m3", "cap three")).sortBy(p => md5Hex(md5Hex(p._1) + md5Hex(p._2)))
     val want = ordered.zipWithIndex.map { case ((d, m, c), i) =>
       val (nd, _, nc) = ordered((i + 1) % 3)
       (d, m, c, nc, if (d == nd) 1 else 0)
