@@ -171,6 +171,20 @@ object SparkEntry {
       Dedup.duplicateClusters(Dedup.ngramJaccardPairs(uni))
     }),
 
+    // cluster-size histogram over the q36 chain universe: how many dup
+    // families at each size, and the keep-one-per-cluster removal yield
+    "q92_cluster_histogram" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 60).select("doc_id", "text")
+      val words = ops.TextAnalysis.words(col("text"))
+      def dropK(k: Int, off: Long) = base
+        .withColumn("text", concat_ws(" ", slice(words, lit(1), size(words) - k)))
+        .withColumn("doc_id", col("doc_id") + off)
+      val uni = base.unionAll(dropK(1, 1000000L)).unionAll(dropK(2, 2000000L))
+      Dedup.clusterSizeHistogram(
+        Dedup.duplicateClusters(Dedup.ngramJaccardPairs(uni)))
+    }),
+
     "q17_simhash" -> ((s, dir) =>
       Dedup.simhash(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
         .select("doc_id", "simhash")),
@@ -1101,6 +1115,21 @@ object SparkEntry {
             UNION
             SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
           SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1""",
+
+    // the q36 clustering folded to one row per family size
+    "q92_cluster_histogram" ->
+      s"""WITH RECURSIVE pairs AS (${jaccardPairsOver(chainUniverseSql)}),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+          reach(id, label) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+          cl AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY 1),
+          sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+          SELECT cluster_size, count(*) AS n_clusters,
+                 (count(*) * (cluster_size - 1))::BIGINT AS n_docs_removable
+          FROM sz GROUP BY 1""",
 
     "q17_simhash" -> simhashSql,
 

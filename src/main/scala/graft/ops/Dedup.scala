@@ -491,6 +491,27 @@ object Dedup {
         coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"))
   }
 
+  /** Cluster-size histogram over a [[duplicateClusters]] labeling — the
+    * release-dashboard view of a dedup pass: how many duplicate families
+    * exist at each size, and how many documents a keep-one-per-cluster
+    * policy would remove. A heavy tail here (a few giant families) is the
+    * signature of template/mirror content; a flat histogram of pairs is
+    * ordinary near-duplication.
+    *
+    * Scale shape: two cascaded aggregations (cluster -> size, size ->
+    * count), both with map-side partials and constant-size buffers; the
+    * second input is one row per CLUSTER, the output one row per distinct
+    * size. No window, no join, no driver state.
+    *
+    * Output: (cluster_size, n_clusters, n_docs_removable); sizes are
+    * >= 2 because [[duplicateClusters]] labels only paired docs.
+    */
+  def clusterSizeHistogram(clusters: DataFrame): DataFrame =
+    clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * (col("cluster_size") - 1)).as("n_docs_removable"))
+
   /** Corpus-frequency boilerplate removal — the OTHER standard line-level
     * pass (CCNet's "drop lines shared by many documents", complementing
     * [[paragraphDedup]]'s keep-one-owner rule): a line occurring in more

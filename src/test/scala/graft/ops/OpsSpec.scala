@@ -1539,6 +1539,16 @@ class OpsSpec extends AnyFunSuite {
       Span("media", null, "orphan", 1)), 0L)))                     // orphan kept
   }
 
+  test("clusterSizeHistogram: exact family sizes and removal yield") {
+    import spark.implicits._
+    // clusters: {1,2} size 2, {3,4,5} size 3, {6,7} size 2
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 3L),
+      (6L, 6L), (7L, 6L)).toDF("doc_id", "cluster_id")
+    val out = Dedup.clusterSizeHistogram(clusters)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(2L -> ((2L, 2L)), 3L -> ((1L, 2L))))
+  }
+
   test("dedupMediaPayloads: multi-hash ref resolves to one min canonical; NULL spans stay NULL") {
     import spark.implicits._
     import graft.core.Span
