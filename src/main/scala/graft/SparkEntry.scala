@@ -153,6 +153,18 @@ object SparkEntry {
     "q15_dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(dedupUniverse(s, dir)).select("doc_a", "doc_b")),
 
+    // normalization-aware exact dedup: uppercase + punctuation mirror
+    // copies collapse to their source's group (the raw-byte hash misses
+    // them); q14's output shape over the canonical form
+    "q93_dedup_normalized" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 100).select("doc_id", "text")
+      val uni = base.unionAll(base
+        .withColumn("text", concat(upper(col("text")), lit("!!!")))
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.exactNormalized(uni)
+    }),
+
     "q16_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(dedupUniverse(s, dir)).select("doc_a", "doc_b")),
 
@@ -169,6 +181,29 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + off)
       val uni = base.unionAll(dropK(1, 1000000L)).unionAll(dropK(2, 2000000L))
       Dedup.duplicateClusters(Dedup.ngramJaccardPairs(uni))
+    }),
+
+    // the one-call curation capstone over a universe planting every fate:
+    // chain mutations (near_dup), upper+punct mirrors (exact_dup),
+    // naturally short docs (low_quality), planted PII on %7 (scrubbed in
+    // the kept output), domain-coherent splits on source
+    "q94_curate" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 60).select("doc_id", "text", "source")
+      val base = raw.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(lit("contact bob@example.com "), col("text")))
+          .otherwise(col("text")))
+      val words = ops.TextAnalysis.words(col("text"))
+      def dropK(k: Int, off: Long) = base
+        .withColumn("text", concat_ws(" ", slice(words, lit(1), size(words) - k)))
+        .withColumn("doc_id", col("doc_id") + off)
+      val mirror = base.filter(col("doc_id") < 30)
+        .withColumn("text", concat(upper(col("text")), lit("!!!")))
+        .withColumn("doc_id", col("doc_id") + 3000000L)
+      val uni = base.unionAll(dropK(1, 1000000L)).unionAll(dropK(2, 2000000L))
+        .unionAll(mirror)
+      graft.ops.Curate.curate(uni)
     }),
 
     // cluster-size histogram over the q36 chain universe: how many dup
@@ -1100,6 +1135,17 @@ object SparkEntry {
          SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS canonical_id
          FROM uni GROUP BY 1""",
 
+    // same canonical form stated in RE2: lower, squash non-alnum runs to a
+    // space ('g' flag — Spark's regexp_replace is global by default), trim
+    "q93_dedup_normalized" ->
+      """WITH uni AS (SELECT doc_id, text FROM documents WHERE doc_id < 100
+           UNION ALL
+           SELECT doc_id + 1000000, upper(text) || '!!!'
+           FROM documents WHERE doc_id < 100)
+         SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS text_hash,
+                count(*) AS n_docs, min(doc_id) AS canonical_id
+         FROM uni GROUP BY 1""",
+
     "q15_dedup_jaccard" -> jaccardPairsSql,
 
     "q16_dedup_minhash_lsh" -> jaccardPairsSql,
@@ -1115,6 +1161,70 @@ object SparkEntry {
             UNION
             SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
           SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1""",
+
+    // the full curation chain restated: normalized-hash ownership ->
+    // exact 3-gram jaccard pairs over survivors -> recursive-CTE
+    // components -> longest-text-wins resolution -> short gate -> scrub +
+    // split hash. Every input doc appears exactly once with its fate.
+    "q94_curate" ->
+      s"""WITH RECURSIVE
+          b0 AS (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN 'contact bob@example.com ' || text
+                        ELSE text END AS text, source
+                 FROM documents WHERE doc_id < 60),
+          tk0 AS (SELECT doc_id, $WORDS AS w, source FROM b0),
+          uni AS (
+            SELECT doc_id, text, source FROM b0
+            UNION ALL SELECT doc_id + 1000000, array_to_string(w[1:len(w)-1], ' '), source FROM tk0
+            UNION ALL SELECT doc_id + 2000000, array_to_string(w[1:len(w)-2], ' '), source FROM tk0
+            UNION ALL SELECT doc_id + 3000000, upper(text) || '!!!', source
+                      FROM b0 WHERE doc_id < 30),
+          nrm AS (SELECT doc_id, text, source,
+                    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+                  FROM uni),
+          own AS (SELECT h, min(doc_id) AS own FROM nrm WHERE h IS NOT NULL GROUP BY 1),
+          ex AS (SELECT nrm.doc_id FROM nrm JOIN own ON nrm.h = own.h
+                 WHERE nrm.doc_id <> own.own),
+          s1 AS (SELECT nrm.doc_id, nrm.text, nrm.source FROM nrm
+                 JOIN own ON nrm.h = own.h AND nrm.doc_id = own.own),
+          toks AS (SELECT doc_id, $WORDS AS w FROM s1),
+          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle FROM toks),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          pairs AS (SELECT doc_a, doc_b FROM inter
+                    JOIN sizes sa ON sa.doc_id = doc_a
+                    JOIN sizes sb ON sb.doc_id = doc_b
+                    WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.85),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+          reach(id, label) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+          cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
+          rn AS (SELECT s1.doc_id,
+                   row_number() OVER (PARTITION BY cl.cluster_id
+                     ORDER BY len(s1.text) DESC, s1.doc_id) AS r
+                 FROM s1 JOIN cl USING (doc_id)),
+          nd AS (SELECT doc_id FROM rn WHERE r > 1),
+          s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+          lowq AS (SELECT doc_id FROM s2 WHERE len($WORDS) < 16),
+          s3 AS (SELECT * FROM s2 WHERE len($WORDS) >= 16),
+          kept AS (SELECT doc_id,
+                     CASE WHEN source IS NULL THEN NULL
+                          WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT < 3221225472 THEN 'train'
+                          WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT < 3758096384 THEN 'val'
+                          ELSE 'test' END AS split,
+                     ${scrubSql("text")} AS text
+                   FROM s3)
+          SELECT doc_id, 'exact_dup' AS status, NULL AS split, NULL AS text FROM ex
+          UNION ALL SELECT doc_id, 'near_dup', NULL, NULL FROM nd
+          UNION ALL SELECT doc_id, 'low_quality', NULL, NULL FROM lowq
+          UNION ALL SELECT doc_id, 'kept', split, text FROM kept""",
 
     // the q36 clustering folded to one row per family size
     "q92_cluster_histogram" ->

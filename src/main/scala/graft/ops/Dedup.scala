@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,6 +20,26 @@ object Dedup {
     */
   def exact(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+
+  /** Dedup-normalization kernel (the CCNet preprocessing rule): lowercase,
+    * squash every non-alphanumeric run to one space, trim. Two documents
+    * differing only in case, punctuation, or whitespace normalize to the
+    * same string — the variants raw-byte hashing misses. Pure codegen'd
+    * column expression; the character class is ASCII-explicit so Java
+    * regex (Spark) and RE2 (DuckDB oracle) agree byte-for-byte.
+    */
+  def normalizeForDedup(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** [[exact]] over the [[normalizeForDedup]] canonical form: one shuffle
+    * (hash groupBy with map-side combine), same output shape. This is the
+    * first pass of a curation pipeline — cheap, and at web scale it
+    * collapses the case/punctuation mirror copies that would otherwise
+    * all flow into the (much costlier) near-dup stage.
+    */
+  def exactNormalized(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(normalizeForDedup(col(textCol))).as("text_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
 
   /** Incremental-ingest exact dedup: drop new-batch docs whose content hash

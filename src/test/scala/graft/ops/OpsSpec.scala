@@ -1539,6 +1539,39 @@ class OpsSpec extends AnyFunSuite {
       Span("media", null, "orphan", 1)), 0L)))                     // orphan kept
   }
 
+  test("normalizeForDedup/exactNormalized: case, punct, whitespace variants collapse") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO   world..."),
+      (4L, "different doc")).toDF("doc_id", "text")
+    val out = Dedup.exactNormalized(docs)
+      .as[(String, Long, Long)].collect().map(r => (r._2, r._3)).toSet
+    assert(out == Set((3L, 1L), (1L, 4L))) // the three variants fused, min id 1
+  }
+
+  test("curate: every doc exactly once with its fate; stage order; splits only on kept") {
+    import spark.implicits._
+    val fluent = "the of and to a in is that it for w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val fw = fluent.split(" ")
+    val docs = Seq(
+      (1L, fluent, "a.com"),                               // kept (family winner: longest)
+      (2L, fw.dropRight(1).mkString(" "), "a.com"),        // near_dup of 1
+      (3L, fluent.toUpperCase + "!!!", "a.com"),           // exact_dup of 1 (normalized)
+      (4L, "tiny short doc", "b.com"),                     // low_quality (3 tokens)
+      (5L, null.asInstanceOf[String], "b.com"),            // empty
+      (6L, (1 to 20).map(i => s"solo$i").mkString(" "), null) // kept, null source -> null split
+    ).toDF("doc_id", "text", "source")
+    val out = Curate.curate(docs)
+      .as[(Long, String, String, String)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 6)
+    assert(out(1L)._2 == "kept" && out(1L)._3 != null && out(1L)._4 == fluent)
+    assert(out(2L)._2 == "near_dup" && out(2L)._3 == null && out(2L)._4 == null)
+    assert(out(3L)._2 == "exact_dup")
+    assert(out(4L)._2 == "low_quality")
+    assert(out(5L)._2 == "empty")
+    assert(out(6L)._2 == "kept" && out(6L)._3 == null) // null coherence -> null split
+  }
+
   test("clusterSizeHistogram: exact family sizes and removal yield") {
     import spark.implicits._
     // clusters: {1,2} size 2, {3,4,5} size 3, {6,7} size 2
