@@ -949,6 +949,13 @@ object SparkEntry {
   // the oracle-side mirror of ops.TextAnalysis.BpeTokenRe (same lockstep rule)
   private val BPE = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"""
 
+  /** oracle-side mirror of ops.Dedup.normalizeForDedup (same lockstep
+    * rule): lower, squash non-alnum runs to one space ('g' — Spark's
+    * regexp_replace is global by default), trim.
+    */
+  private def normSql(e: String) =
+    s"trim(regexp_replace(lower($e), '[^a-z0-9]+', ' ', 'g'))"
+
   private def xmlFulltext =
     s"'I. INTRODUCTION ' || $C || ' Manual Entry 1 TABLE ' || $K || '. CAP ' || $K || ' NOTES ' || $K || chr(10) || 'APPENDIX ' || $K || ' APP ' || $W0"
 
@@ -1135,14 +1142,13 @@ object SparkEntry {
          SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS canonical_id
          FROM uni GROUP BY 1""",
 
-    // same canonical form stated in RE2: lower, squash non-alnum runs to a
-    // space ('g' flag — Spark's regexp_replace is global by default), trim
+    // same canonical form stated in RE2 via the shared normSql mirror
     "q93_dedup_normalized" ->
-      """WITH uni AS (SELECT doc_id, text FROM documents WHERE doc_id < 100
+      s"""WITH uni AS (SELECT doc_id, text FROM documents WHERE doc_id < 100
            UNION ALL
            SELECT doc_id + 1000000, upper(text) || '!!!'
            FROM documents WHERE doc_id < 100)
-         SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS text_hash,
+         SELECT md5(${normSql("text")}) AS text_hash,
                 count(*) AS n_docs, min(doc_id) AS canonical_id
          FROM uni GROUP BY 1""",
 
@@ -1180,7 +1186,7 @@ object SparkEntry {
             UNION ALL SELECT doc_id + 3000000, upper(text) || '!!!', source
                       FROM b0 WHERE doc_id < 30),
           nrm AS (SELECT doc_id, text, source,
-                    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+                    md5(${normSql("text")}) AS h
                   FROM uni),
           own AS (SELECT h, min(doc_id) AS own FROM nrm WHERE h IS NOT NULL GROUP BY 1),
           ex AS (SELECT nrm.doc_id FROM nrm JOIN own ON nrm.h = own.h

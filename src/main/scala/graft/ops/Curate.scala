@@ -31,10 +31,12 @@ import org.apache.spark.sql.functions._
   * judges).
   *
   * Scale shape: each stage is the already-audited plan of its operator;
-  * the stage-1 survivor set is eagerly localCheckpointed because three
-  * consumers (pair mining, resolution, the keep join) would otherwise
-  * re-execute the dedup subtree. Numeric-id contract inherited from
-  * [[Dedup.duplicateClusters]].
+  * the stage-1 tagged table is eagerly localCheckpointed because every
+  * status branch and all three survivor consumers (pair mining,
+  * resolution, the keep join) would otherwise re-execute the corpus-wide
+  * ownership aggregation + join. Numeric-id contract inherited from
+  * [[Dedup.duplicateClusters]] and enforced the same way (fail fast, never
+  * silently drop).
   */
 object Curate {
 
@@ -42,13 +44,24 @@ object Curate {
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125),
       tau: Double = 0.85, coherenceCol: String = "source"): DataFrame = {
-    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+    val base = docs.select(expr("try_cast(doc_id AS BIGINT)").as("doc_id"),
       col("text"), col(coherenceCol).as("_coh"))
     val withNorm = base.withColumn("_h",
       md5(Dedup.normalizeForDedup(col("text"))))
     val owners = withNorm.filter(col("_h").isNotNull)
       .groupBy("_h").agg(min("doc_id").as("_own"))
-    val tagged = withNorm.join(owners, Seq("_h"), "left")
+    // checkpoint the TAGGED table once: all three status branches AND the
+    // survivor set derive from it, and without the pin each branch would
+    // re-execute the corpus-wide ownership aggregation + join
+    val tagged = withNorm.join(owners, Seq("_h"), "left").localCheckpoint()
+    // numeric-id contract (inherited from duplicateClusters), enforced the
+    // same way: a NULL-casting id would silently vanish from every status
+    // branch below (both =!= and === are NULL against a NULL id) — fail
+    // fast instead. One bounded scan of the already-materialized table.
+    if (!tagged.filter(col("doc_id").isNull).isEmpty)
+      throw new IllegalArgumentException(
+        "curate requires numeric doc ids (try_cast to BIGINT returned NULL " +
+          "for some rows); strip any prefix before calling")
     val empties = tagged.filter(col("_h").isNull)
       .select(col("doc_id"), lit("empty").as("status"))
     val exactDups = tagged
@@ -57,7 +70,6 @@ object Curate {
     val surv1 = tagged
       .filter(col("_h").isNotNull && col("doc_id") === col("_own"))
       .select("doc_id", "text", "_coh")
-      .localCheckpoint()
 
     val clusters = Dedup.duplicateClusters(Dedup.minhashLsh(surv1, tau = tau))
     val resolved = Dedup.resolveDuplicates(

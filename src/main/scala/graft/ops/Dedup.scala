@@ -39,8 +39,7 @@ object Dedup {
     * all flow into the (much costlier) near-dup stage.
     */
   def exactNormalized(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.groupBy(md5(normalizeForDedup(col(textCol))).as("text_hash"))
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+    exact(docs.withColumn(textCol, normalizeForDedup(col(textCol))), textCol)
 
   /** Incremental-ingest exact dedup: drop new-batch docs whose content hash
     * already exists in the historical fingerprint store, AND collapse

@@ -1570,6 +1570,10 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4L)._2 == "low_quality")
     assert(out(5L)._2 == "empty")
     assert(out(6L)._2 == "kept" && out(6L)._3 == null) // null coherence -> null split
+    // numeric-id contract: a non-castable id fails fast, never vanishes
+    val stringIds = Seq(("D007", "some text here", "a.com"))
+      .toDF("doc_id", "text", "source")
+    assertThrows[IllegalArgumentException](Curate.curate(stringIds).collect())
   }
 
   test("clusterSizeHistogram: exact family sizes and removal yield") {
