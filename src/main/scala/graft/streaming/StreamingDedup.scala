@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Exact content dedup as a STREAMING stage — the continuous analog of
   * `ops.Dedup.incrementalExact` for a pipeline whose corpus arrives as an
@@ -46,5 +47,70 @@ object StreamingDedup {
       .groupBy("text_hash")
       .agg(min(struct(ordered.map(col): _*)).as("_row"))
       .select(rest.map(c => col(s"_row.$c").as(c)) :+ col("text_hash"): _*)
+  }
+
+  /** Continuous NEAR-dup ingest — the streaming realization of
+    * [[graft.ops.Dedup.incrementalMinhash]]'s batch-vs-store contract:
+    * every micro-batch is checked against the standing band-signature
+    * store, only the novel documents are released, and the novel docs'
+    * signatures + texts are appended to the store so the NEXT batch
+    * dedups against them. The store lives on disk (parquet dirs under
+    * `storeDir`), not in streaming state: the store IS the state, it is
+    * unbounded by design (the corpus grows), and a restart resumes from
+    * the data with no checkpointed aggregation to rebuild.
+    *
+    * Delivery semantics: every write is keyed by the micro-batch id
+    * (`batch=<id>` subdirectory, overwrite) — a replayed batch after a
+    * crash rewrites ITS OWN directories with identical deterministic
+    * content, so the sink is idempotent without a transactional store.
+    * Within-batch near-dup pairs pass through (the horizon is
+    * batch-vs-STORE, mirroring [[dedupStream]]'s watermark trade);
+    * chain them with [[dedupStream]] or a batch
+    * [[graft.ops.Dedup.minhashLsh]] pass when within-batch matters.
+    *
+    * Scale shape per batch: the batch is signed once (O(batch) typed
+    * map); the store contributes its persisted signature table (one scan,
+    * bucket-capped) and a candidate-sized text lookup — per-ingest cost
+    * grows with the batch and the candidate count, never with a re-sign
+    * of the corpus.
+    */
+  def nearDupIngest(docs: DataFrame, storeDir: String, keptDir: String,
+      checkpointDir: String,
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      tau: Double = 0.85, maxBucket: Int = 64): StreamingQuery = {
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val sigDir = s"$storeDir/sig"
+        val txtDir = s"$storeDir/texts"
+        import spark.implicits._
+        // the store read EXCLUDES this batch's own partition: a replayed
+        // batch would otherwise find its previous attempt's signatures,
+        // mark itself 100% duplicate, and overwrite its output with
+        // nothing — the one way the batch=<id> idempotency scheme could
+        // lose data
+        def readStore(dir: String, keep: Seq[String], make: => DataFrame): DataFrame =
+          try spark.read.parquet(dir)
+            .filter(col("batch") =!= batchId)
+            .select(keep.map(col): _*)
+          catch { case _: Exception => make }
+        val storeSig = readStore(sigDir, Seq("doc_id", "bucket"),
+          Seq.empty[(Long, Long)].toDF("doc_id", "bucket"))
+        val storeTexts = readStore(txtDir, Seq("doc_id", "text"),
+          Seq.empty[(Long, String)].toDF("doc_id", "text"))
+        val dups = graft.ops.Dedup.incrementalMinhash(
+          batch, storeSig, storeTexts, n, bands, rowsPerBand, tau, maxBucket)
+        val novel = batch
+          .join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
+          .localCheckpoint() // three consumers below; pin one evaluation
+        novel.write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
+        graft.ops.Dedup.signBands(novel, n, bands, rowsPerBand)
+          .write.mode("overwrite").parquet(s"$sigDir/batch=$batchId")
+        novel.selectExpr("cast(doc_id as long) as doc_id", "text")
+          .write.mode("overwrite").parquet(s"$txtDir/batch=$batchId")
+        ()
+      }
+      .start()
   }
 }

@@ -52,6 +52,49 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(out.filter(col("doc_id") >= 1000L).count() == 0) // first arrival won
   }
 
+  test("nearDupIngest: later micro-batches near-dedup against the accumulated store") {
+    import spark.implicits._
+    def t(p: String) = (0 until 30).map(j => s"${p}_$j").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndstream").toString
+    val inDir = s"$tmp/in"; val store = s"$tmp/store"
+    val kept = s"$tmp/kept"; val cp = s"$tmp/cp"
+    // wave 1: docs 0-9. wave 2: drop-last-word NEAR-dups of 0-4 under new
+    // ids (must be dropped against the store built by wave 1) + new 10-14.
+    val wave1 = (0 until 10).map(i => (i.toLong, t(s"w$i")))
+    val wave2 = (0 until 5).map(i =>
+        (1000L + i, t(s"w$i").split(" ").dropRight(1).mkString(" "))) ++
+      (10 until 15).map(i => (i.toLong, t(s"w$i")))
+    wave1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    Thread.sleep(100)
+    wave2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamingDedup.nearDupIngest(stream, store, kept, cp)
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(kept)
+    assert(out.select("doc_id").as[Long].collect().toSet == (0L until 15L).toSet)
+    // the store accumulated signatures and texts for every kept doc
+    assert(spark.read.parquet(s"$store/texts").count() == 15)
+    assert(spark.read.parquet(s"$store/sig").select("doc_id").distinct().count() == 15)
+
+    // FULL REPLAY (fresh checkpoint, same store/kept dirs — the crash-
+    // recovery worst case): each batch re-reads a store already holding
+    // its own previous writes; the own-partition exclusion must keep it
+    // from marking itself duplicate, and the batch=<id> overwrites must
+    // leave the output byte-identical instead of doubled or emptied
+    val q2 = StreamingDedup.nearDupIngest(stream, store, kept, s"$tmp/cp2")
+    q2.processAllAvailable()
+    q2.stop()
+    val replayed = spark.read.parquet(kept)
+    assert(replayed.select("doc_id").as[Long].collect().toSet == (0L until 15L).toSet)
+    assert(replayed.count() == 15)
+    assert(spark.read.parquet(s"$store/texts").count() == 15)
+  }
+
   test("batch firstArrival agrees with the streaming output set") {
     import spark.implicits._
     val rows = ((0 until 10).map(i => (i.toLong, s"text body $i", ts(i))) ++
