@@ -59,10 +59,14 @@ object StreamingDedup {
     * unbounded by design (the corpus grows), and a restart resumes from
     * the data with no checkpointed aggregation to rebuild.
     *
-    * Delivery semantics: every write is keyed by the micro-batch id
-    * (`batch=<id>` subdirectory, overwrite) — a replayed batch after a
-    * crash rewrites ITS OWN directories with identical deterministic
-    * content, so the sink is idempotent without a transactional store.
+    * Delivery semantics: every write is keyed by the micro-batch id PLUS
+    * an order-independent content hash of the batch
+    * (`batch=<id>-<xor>` subdirectory, overwrite) — a replayed batch
+    * after a crash rewrites ITS OWN directories with identical
+    * deterministic content (idempotent without a transactional store),
+    * while a fresh-checkpoint restart whose batch ids reset over
+    * different content lands on NEW directories instead of overwriting
+    * prior runs' partitions.
     * Within-batch near-dup pairs pass through (the horizon is
     * batch-vs-STORE, mirroring [[dedupStream]]'s watermark trade);
     * chain them with [[dedupStream]] or a batch
@@ -85,16 +89,42 @@ object StreamingDedup {
         val sigDir = s"$storeDir/sig"
         val txtDir = s"$storeDir/texts"
         import spark.implicits._
+        // partition key = batch id + an order-independent XOR content hash
+        // of the batch: a REPLAY of the same batch (same content) lands on
+        // the same directory and overwrites it with identical bytes
+        // (idempotent), while a fresh-checkpoint restart — whose batch ids
+        // reset to 0 over DIFFERENT content — lands on new directories
+        // instead of destroying prior runs' partitions. One tiny action
+        // per micro-batch.
+        val contentKey = {
+          val k = batch.select(
+            conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit(":"), md5(col("text")))), 1, 8), 16, 10)
+              .cast("long").as("_k"))
+            .agg(expr("bit_xor(_k)")).head().get(0)
+          if (k == null) "empty" else java.lang.Long.toHexString(k.asInstanceOf[Long])
+        }
+        val part = s"$batchId-$contentKey"
         // the store read EXCLUDES this batch's own partition: a replayed
         // batch would otherwise find its previous attempt's signatures,
         // mark itself 100% duplicate, and overwrite its output with
-        // nothing — the one way the batch=<id> idempotency scheme could
-        // lose data
-        def readStore(dir: String, keep: Seq[String], make: => DataFrame): DataFrame =
-          try spark.read.parquet(dir)
-            .filter(col("batch") =!= batchId)
-            .select(keep.map(col): _*)
-          catch { case _: Exception => make }
+        // nothing. Only a MISSING directory reads as an empty store (the
+        // first batch); any real read failure must fail the batch so
+        // Spark retries it — a swallowed transient error would silently
+        // release a whole batch of duplicates and pollute the store.
+        def readStore(dir: String, keep: Seq[String], make: => DataFrame): DataFrame = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(p)) make
+          else {
+            val df = spark.read.parquet(dir)
+            // a pre-seeded flat store (no batch partition dirs) has no
+            // own-partition to exclude
+            val scoped = if (df.columns.contains("batch"))
+              df.filter(col("batch") =!= part) else df
+            scoped.select(keep.map(col): _*)
+          }
+        }
         val storeSig = readStore(sigDir, Seq("doc_id", "bucket"),
           Seq.empty[(Long, Long)].toDF("doc_id", "bucket"))
         val storeTexts = readStore(txtDir, Seq("doc_id", "text"),
@@ -104,11 +134,11 @@ object StreamingDedup {
         val novel = batch
           .join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
           .localCheckpoint() // three consumers below; pin one evaluation
-        novel.write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
+        novel.write.mode("overwrite").parquet(s"$keptDir/batch=$part")
         graft.ops.Dedup.signBands(novel, n, bands, rowsPerBand)
-          .write.mode("overwrite").parquet(s"$sigDir/batch=$batchId")
+          .write.mode("overwrite").parquet(s"$sigDir/batch=$part")
         novel.selectExpr("cast(doc_id as long) as doc_id", "text")
-          .write.mode("overwrite").parquet(s"$txtDir/batch=$batchId")
+          .write.mode("overwrite").parquet(s"$txtDir/batch=$part")
         ()
       }
       .start()

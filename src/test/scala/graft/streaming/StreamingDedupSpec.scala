@@ -65,15 +65,26 @@ class StreamingDedupSpec extends AnyFunSuite {
         (1000L + i, t(s"w$i").split(" ").dropRight(1).mkString(" "))) ++
       (10 until 15).map(i => (i.toLong, t(s"w$i")))
     wave1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
-    Thread.sleep(100)
     wave2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    // FileStreamSource orders by mtime (ties broken arbitrarily): set the
+    // wave order EXPLICITLY so the test is deterministic on any
+    // filesystem's timestamp granularity
+    locally {
+      val d = new java.io.File(inDir)
+      val parts = d.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val w1 = wave1.map(_._1).toSet
+      parts.foreach { f =>
+        val ids = spark.read.parquet(f.getPath).select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+        f.setLastModified(if (ids.subsetOf(w1)) 1700000000000L else 1700000060000L)
+      }
+    }
 
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val q = StreamingDedup.nearDupIngest(stream, store, kept, cp)
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
 
     val out = spark.read.parquet(kept)
     assert(out.select("doc_id").as[Long].collect().toSet == (0L until 15L).toSet)
@@ -87,8 +98,7 @@ class StreamingDedupSpec extends AnyFunSuite {
     // from marking itself duplicate, and the batch=<id> overwrites must
     // leave the output byte-identical instead of doubled or emptied
     val q2 = StreamingDedup.nearDupIngest(stream, store, kept, s"$tmp/cp2")
-    q2.processAllAvailable()
-    q2.stop()
+    try q2.processAllAvailable() finally q2.stop()
     val replayed = spark.read.parquet(kept)
     assert(replayed.select("doc_id").as[Long].collect().toSet == (0L until 15L).toSet)
     assert(replayed.count() == 15)
