@@ -394,6 +394,26 @@ object SparkEntry {
       Dedup.embeddingNearDup(embNearDupUniverse(s, dir), tau = 0.95)
         .select("id_a", "id_b")),
 
+    // incremental embedding near-dup vs a signature store: planted
+    // float-exact near-dups of store vectors at +1000000, novel vectors at
+    // +2000000, exact copies at +3000000; the store enters as its
+    // precomputed signEmbeddings table
+    "q95_incremental_emb_neardup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val store = emb.filter(col("vec_id") < 150)
+      val batch = emb.filter(col("vec_id") < 50)
+        .withColumn("embedding", concat(
+          array((col("embedding")(0) + lit(0.05f)).cast("float")),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1)))
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+        .unionAll(emb.filter(col("vec_id").between(300, 349))
+          .withColumn("vec_id", col("vec_id") + 2000000L))
+        .unionAll(emb.filter(col("vec_id").between(100, 119))
+          .withColumn("vec_id", col("vec_id") + 3000000L))
+      Dedup.incrementalEmbeddingNearDup(batch, Dedup.signEmbeddings(store), store)
+    }),
+
     // hot-bucket truncation semantics, hash-gated: 50 identical vectors put
     // every table's bucket over maxBucket=8, so the bounded aggregation must
     // keep exactly the 8 SMALLEST ids (ascending cap), emit all C(8,2) pairs
@@ -1423,6 +1443,25 @@ object SparkEntry {
          SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM uni a JOIN uni b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95""",
+
+    // directed exact-cosine restatement (LSH recall ~1 on the planted
+    // separations, every candidate exact-verified); truncated = constant
+    // 0 here (store buckets far under maxBucket — the overflow path is
+    // pinned by the degenerate-bucket ScalaTest)
+    "q95_incremental_emb_neardup" ->
+      """WITH store AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
+         batch AS (
+           SELECT vec_id + 1000000 AS vec_id,
+                  list_concat([(embedding[1] + 0.05::FLOAT)::FLOAT], embedding[2:]) AS embedding
+           FROM embeddings WHERE vec_id < 50
+           UNION ALL
+           SELECT vec_id + 2000000, embedding FROM embeddings WHERE vec_id BETWEEN 300 AND 349
+           UNION ALL
+           SELECT vec_id + 3000000, embedding FROM embeddings WHERE vec_id BETWEEN 100 AND 119)
+         SELECT b.vec_id AS vec_id, min(s.vec_id) AS dup_of, 0 AS truncated
+         FROM batch b JOIN store s
+           ON list_cosine_similarity(b.embedding::DOUBLE[], s.embedding::DOUBLE[]) >= 0.95
+         GROUP BY 1""",
 
     // closed-form truncation oracle: the capped bucket keeps the 8 SMALLEST
     // of the 50 identical vectors (ids 0..7), all pairs verified at cosine

@@ -809,8 +809,17 @@ object Dedup {
     * overflow surfaced in the `truncated` flag, never silent), then exact
     * cosine verification of every candidate.
     */
-  def embeddingNearDup(emb: DataFrame, tau: Double = 0.95, tables: Int = 6,
-      planesPerTable: Int = 8, maxBucket: Int = 64): DataFrame = {
+  /** Hyperplane-LSH signature table for an embedding corpus: one row per
+    * (vector, table) with the table's bucket key — the persisted artifact
+    * of an embedding dedup store, exactly as [[signBands]] is for text.
+    * The planes are a fixed function of (tables, planesPerTable, dim)
+    * (seeded PRNG), so signing a later batch with the SAME parameters
+    * over the SAME dimensionality reproduces the store's geometry — the
+    * contract [[incrementalEmbeddingNearDup]] relies on. One typed map,
+    * no shuffle; `dim` is read from the first row (one tiny action).
+    */
+  def signEmbeddings(emb: DataFrame, tables: Int = 6,
+      planesPerTable: Int = 8): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
@@ -819,7 +828,7 @@ object Dedup {
     val hyperB = spark.sparkContext.broadcast(hyper)
 
     // one bucket key per table: (table#, P-bit signature)
-    val sigs = emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Seq[Float])]
+    emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Seq[Float])]
       .map { case (id, v) =>
         val h = hyperB.value
         val keys = Array.tabulate(tables) { t =>
@@ -837,9 +846,16 @@ object Dedup {
         }
         (id, keys)
       }.toDF("vec_id", "bucket_keys")
+      .select(col("vec_id"), explode(col("bucket_keys")).as("bucket"))
+  }
+
+  def embeddingNearDup(emb: DataFrame, tau: Double = 0.95, tables: Int = 6,
+      planesPerTable: Int = 8, maxBucket: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
 
     val candidates = boundedBuckets(
-      sigs.select(col("vec_id"), explode(col("bucket_keys")).as("bucket")),
+      signEmbeddings(emb, tables, planesPerTable),
       "vec_id", maxBucket)
       .select(col("ids"), col("truncated"))
       .as[(Seq[Long], Int)]
@@ -867,5 +883,53 @@ object Dedup {
       .withColumn("_sim", graft.spark.VectorFunctions.cosineSim(col("ea"), col("eb")))
       .filter(nanvl(col("_sim"), lit(-2.0)) >= tau)
       .select(col("id_a"), col("id_b"), col("truncated"))
+  }
+
+  /** Incremental embedding near-dup — [[incrementalMinhash]]'s
+    * batch-vs-store contract for the embedding modality: flag new-batch
+    * vectors whose cosine to some store vector reaches `tau`, without
+    * re-signing the store. `storeSig` is the store's persisted
+    * [[signEmbeddings]] table (appended per ingest) and `storeVecs` a
+    * (vec_id, embedding) relation consulted only for the candidate-sized
+    * exact verification. The batch MUST be signed with the same (tables,
+    * planesPerTable) and dimensionality the store was built with — the
+    * planes are a fixed function of those, which is what makes the
+    * signature table durable.
+    *
+    * Plan: identical shape to [[incrementalMinhash]] — batch signed
+    * O(batch); store signature table capped at `maxBucket` ids per bucket
+    * with the overflow COUNTED into the output's `truncated` flag; ONE
+    * bucket equi-join; exact NaN-guarded cosine verification; min store
+    * id per batch vector.
+    *
+    * Output: (vec_id, dup_of, truncated).
+    */
+  def incrementalEmbeddingNearDup(batch: DataFrame, storeSig: DataFrame,
+      storeVecs: DataFrame, tau: Double = 0.95, tables: Int = 6,
+      planesPerTable: Int = 8, maxBucket: Int = 64): DataFrame = {
+    val w = Window.partitionBy("bucket").orderBy("vec_id")
+    val marked = storeSig
+      .select(col("vec_id").cast("long").as("vec_id"), col("bucket"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxBucket + 1)
+    val flags = marked.groupBy("bucket")
+      .agg((max("rn") > maxBucket).cast("int").as("_btrunc"))
+    val cappedStore = marked.filter(col("rn") <= maxBucket)
+      .join(flags, Seq("bucket"))
+      .select(col("bucket"), col("vec_id").as("store_id"), col("_btrunc"))
+    val candidates = signEmbeddings(batch, tables, planesPerTable)
+      .join(cappedStore, Seq("bucket"))
+      .groupBy("vec_id", "store_id").agg(max("_btrunc").as("_trunc"))
+    val batchVecs = batch.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").as("_bv"))
+    val stVecs = storeVecs.select(col("vec_id").cast("long").as("store_id"),
+      col("embedding").as("_sv"))
+    candidates
+      .join(batchVecs, "vec_id").join(stVecs, "store_id")
+      .withColumn("_sim",
+        graft.spark.VectorFunctions.cosineSim(col("_bv"), col("_sv")))
+      .filter(nanvl(col("_sim"), lit(-2.0)) >= tau)
+      .groupBy("vec_id").agg(min("store_id").as("dup_of"),
+        max("_trunc").as("truncated"))
   }
 }

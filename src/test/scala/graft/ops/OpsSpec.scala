@@ -1539,6 +1539,35 @@ class OpsSpec extends AnyFunSuite {
       Span("media", null, "orphan", 1)), 0L)))                     // orphan kept
   }
 
+  test("bucketBatches property: full batches, nonneg pad, every doc once (300 random docs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val lens = (1 to 300).map(i => i.toLong -> rnd.nextInt(150)).toMap
+    val docs = lens.toSeq.map { case (id, n) =>
+      (id, Seq.fill(n)("w").mkString(" ")) }.toDF("doc_id", "text").repartition(13)
+    val out = Sampling.bucketBatches(docs, batchDocs = 8)
+      .as[(Long, Long, Int, Long, Long)].collect()
+    // every doc exactly once
+    assert(out.map(_._1).toSet == lens.keySet && out.length == 300)
+    for ((b, rows) <- out.groupBy(_._3)) {
+      // batch ids contiguous from 0; all full except possibly the highest
+      val byBatch = rows.groupBy(_._4)
+      val maxBatch = byBatch.keys.max
+      assert(byBatch.keys.toSet == (0L to maxBatch).toSet, s"bucket $b gap")
+      for ((batch, brows) <- byBatch) {
+        if (batch < maxBatch) assert(brows.length == 8, s"bucket $b batch $batch not full")
+        // pad = batch max - len, never negative, zero for the max doc
+        val mx = brows.map(_._2).max
+        assert(brows.forall(r => r._5 == mx - r._2 && r._5 >= 0))
+      }
+    }
+    // the physical layout doesn't change the assignment
+    val again = Sampling.bucketBatches(docs.repartition(3), batchDocs = 8)
+      .as[(Long, Long, Int, Long, Long)].collect()
+    assert(again.map(r => r._1 -> ((r._3, r._4))).toMap ==
+      out.map(r => r._1 -> ((r._3, r._4))).toMap)
+  }
+
   test("normalizeForDedup/exactNormalized: case, punct, whitespace variants collapse") {
     import spark.implicits._
     val docs = Seq(
@@ -1574,6 +1603,33 @@ class OpsSpec extends AnyFunSuite {
     val stringIds = Seq(("D007", "some text here", "a.com"))
       .toDF("doc_id", "text", "source")
     assertThrows[IllegalArgumentException](Curate.curate(stringIds).collect())
+  }
+
+  test("incrementalEmbeddingNearDup: min store match, novel pass, hot bucket flagged") {
+    import spark.implicits._
+    def oneHot(i: Int, eps: (Int, Float)*) = {
+      val a = Array.fill(8)(0f); a(i) = 1f; eps.foreach { case (j, v) => a(j) = v }; a.toSeq
+    }
+    val twin = Seq(1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val store = ((0 until 8).map(i => (i.toLong, oneHot(i)))
+      :+ (40L, twin) :+ (41L, twin)).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (100L, oneHot(0, 1 -> 0.05f)), // near-dup of store 0 (cos ~0.9988)
+      (101L, oneHot(5)),             // exact copy of store 5
+      (102L, twin),                  // matches both twins -> min id 40
+      (200L, Seq.fill(8)(0.354f))    // ~equidistant from all: max cos ~0.5 -> novel
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.incrementalEmbeddingNearDup(
+        batch, Dedup.signEmbeddings(store), store)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(100L -> ((0L, 0)), 101L -> ((5L, 0)), 102L -> ((40L, 0))))
+    // degenerate hot store bucket: capped at 8, overflow -> truncated=1
+    val hot = (0L until 30L).map(i => (i, oneHot(2))).toDF("vec_id", "embedding")
+    val hotOut = Dedup.incrementalEmbeddingNearDup(
+        Seq((500L, oneHot(2))).toDF("vec_id", "embedding"),
+        Dedup.signEmbeddings(hot), hot, maxBucket = 8)
+      .as[(Long, Long, Int)].collect()
+    assert(hotOut.toSeq == Seq((500L, 0L, 1)))
   }
 
   test("clusterSizeHistogram: exact family sizes and removal yield") {
