@@ -55,6 +55,17 @@ object SparkEntry {
     base.unionAll(mutated)
   }
 
+  /** First-component +0.05 float perturbation — the load-bearing half of a
+    * cross-engine contract: it must stay bit-identical to the oracle's
+    * `list_concat([(embedding[1] + 0.05::FLOAT)::FLOAT], embedding[2:])`,
+    * so every near-dup universe (q33/q41 family, q95) plants mutations
+    * through this ONE helper.
+    */
+  private def perturbFirstComponent(df: DataFrame): DataFrame =
+    df.withColumn("embedding", concat(
+      array((col("embedding")(0) + lit(0.05f)).cast("float")),
+      slice(col("embedding"), lit(2), size(col("embedding")) - 1)))
+
   /** embedding near-dup universe: base vectors (vec_id < 200) plus planted
     * near-duplicates at id+1000000 (first component +0.05, float arithmetic
     * — bit-identical to the oracle's `(embedding[1] + 0.05::FLOAT)::FLOAT`).
@@ -62,10 +73,7 @@ object SparkEntry {
   private def embNearDupUniverse(s: SparkSession, dir: String): DataFrame = {
     val base = s.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") < 200).select("vec_id", "embedding")
-    val mutated = base
-      .withColumn("embedding", concat(
-        array((col("embedding")(0) + lit(0.05f)).cast("float")),
-        slice(col("embedding"), lit(2), size(col("embedding")) - 1)))
+    val mutated = perturbFirstComponent(base)
       .withColumn("vec_id", col("vec_id") + 1000000L)
     base.unionAll(mutated)
   }
@@ -402,10 +410,7 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select("vec_id", "embedding")
       val store = emb.filter(col("vec_id") < 150)
-      val batch = emb.filter(col("vec_id") < 50)
-        .withColumn("embedding", concat(
-          array((col("embedding")(0) + lit(0.05f)).cast("float")),
-          slice(col("embedding"), lit(2), size(col("embedding")) - 1)))
+      val batch = perturbFirstComponent(emb.filter(col("vec_id") < 50))
         .withColumn("vec_id", col("vec_id") + 1000000L)
         .unionAll(emb.filter(col("vec_id").between(300, 349))
           .withColumn("vec_id", col("vec_id") + 2000000L))

@@ -346,25 +346,40 @@ object Dedup {
     * smaller store match may exist unseen). Callers anti-join the batch
     * against it to keep the novel docs.
     */
-  def incrementalMinhash(batch: DataFrame, storeSig: DataFrame,
-      storeTexts: DataFrame, n: Int = 3, bands: Int = 16,
-      rowsPerBand: Int = 4, tau: Double = 0.85,
-      maxBucket: Int = 64): DataFrame = {
-    val spark = batch.sparkSession
-    import spark.implicits._
-    val w = Window.partitionBy("bucket").orderBy("doc_id")
+  /** Shared batch-vs-store candidate generation for the incremental
+    * near-dup operators: the store's signature table is capped at
+    * `maxBucket` ids per bucket (row_number with a maxBucket+1 sentinel so
+    * the overflow is COUNTED into a per-bucket `_btrunc` flag, never
+    * silent), then ONE equi-join on the bucket key against the batch's
+    * signatures, collapsed to distinct (batch id, store_id) pairs with the
+    * truncation flag OR-ed across the buckets they met in. Both modalities
+    * (text bands, embedding hyperplanes) share this exact contract — one
+    * implementation so the sentinel/flag semantics cannot drift.
+    */
+  private def cappedStoreCandidates(batchSig: DataFrame, storeSig: DataFrame,
+      idCol: String, maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy("bucket").orderBy(idCol)
     val marked = storeSig
-      .select(col("doc_id").cast("long").as("doc_id"), col("bucket"))
+      .select(col(idCol).cast("long").as(idCol), col("bucket"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxBucket + 1)
     val flags = marked.groupBy("bucket")
       .agg((max("rn") > maxBucket).cast("int").as("_btrunc"))
     val cappedStore = marked.filter(col("rn") <= maxBucket)
       .join(flags, Seq("bucket"))
-      .select(col("bucket"), col("doc_id").as("store_id"), col("_btrunc"))
-    val candidates = signBands(batch, n, bands, rowsPerBand)
-      .join(cappedStore, Seq("bucket"))
-      .groupBy("doc_id", "store_id").agg(max("_btrunc").as("_trunc"))
+      .select(col("bucket"), col(idCol).as("store_id"), col("_btrunc"))
+    batchSig.join(cappedStore, Seq("bucket"))
+      .groupBy(idCol, "store_id").agg(max("_btrunc").as("_trunc"))
+  }
+
+  def incrementalMinhash(batch: DataFrame, storeSig: DataFrame,
+      storeTexts: DataFrame, n: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4, tau: Double = 0.85,
+      maxBucket: Int = 64): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val candidates = cappedStoreCandidates(
+      signBands(batch, n, bands, rowsPerBand), storeSig, "doc_id", maxBucket)
     val batchTexts = batch.select(col("doc_id").cast("long").as("doc_id"),
       col("text").as("_bt"))
     val stTexts = storeTexts.select(col("doc_id").cast("long").as("store_id"),
@@ -794,6 +809,69 @@ object Dedup {
       bitCols.reduce((a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a.bitwiseOR(b)))
   }
 
+  /** Hyperplane-LSH signature table for an embedding corpus: one row per
+    * (vector, table) with the table's bucket key — the persisted artifact
+    * of an embedding dedup store, exactly as [[signBands]] is for text.
+    * The planes are a fixed function of (tables, planesPerTable, dim)
+    * (seeded PRNG), so signing a later batch with the SAME parameters
+    * over the SAME dimensionality reproduces the store's geometry — the
+    * contract [[incrementalEmbeddingNearDup]] relies on.
+    *
+    * One typed map, no shuffle. `dim` anchors the plane geometry: pass it
+    * explicitly (a streaming ingest should pass the store's dimensionality
+    * once — no per-micro-batch driver action); `dim <= 0` probes the first
+    * non-null row, and an EMPTY input yields an empty signature table, not
+    * a driver error. NULL-text parity with [[signBands]]: a NULL embedding
+    * emits no rows (never a candidate). A vector whose length differs from
+    * `dim` throws — a dimensionality mismatch against a standing store
+    * would otherwise bucket randomly and verify prefix-cosines, silently
+    * losing recall, so it must fail loudly.
+    */
+  def signEmbeddings(emb: DataFrame, tables: Int = 6,
+      planesPerTable: Int = 8, dim: Int = 0): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val typed = emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Seq[Float])]
+    val d =
+      if (dim > 0) dim
+      else emb.filter(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head(1) match {
+          case Array(row) => row.getInt(0)
+          case _ => return spark.emptyDataset[(Long, Long)].toDF("vec_id", "bucket")
+        }
+    val rnd = new scala.util.Random(42)
+    val hyper = Array.fill(tables * planesPerTable, d)(rnd.nextGaussian())
+    val hyperB = spark.sparkContext.broadcast(hyper)
+
+    // one bucket key per table: (table#, P-bit signature)
+    typed
+      .map { case (id, v) =>
+        val keys =
+          if (v == null) Array.empty[Long]
+          else {
+            require(v.length == d,
+              s"embedding dim ${v.length} for vec_id $id != LSH plane dim $d " +
+                "(batch signed against a store of different dimensionality?)")
+            val h = hyperB.value
+            Array.tabulate(tables) { t =>
+              var sig = 0L
+              var p = 0
+              while (p < planesPerTable) {
+                var dot = 0.0
+                var i = 0
+                val plane = h(t * planesPerTable + p)
+                while (i < v.length) { dot += plane(i) * v(i); i += 1 }
+                if (dot >= 0) sig |= (1L << p)
+                p += 1
+              }
+              (t.toLong << 32) | sig
+            }
+          }
+        (id, keys)
+      }.toDF("vec_id", "bucket_keys")
+      .select(col("vec_id"), explode(col("bucket_keys")).as("bucket"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= tau among LSH-bucketed
     * candidates. Multi-table random-hyperplane LSH (`tables` independent
     * signatures of `planesPerTable` bits each, seeded): a pair is a
@@ -809,46 +887,6 @@ object Dedup {
     * overflow surfaced in the `truncated` flag, never silent), then exact
     * cosine verification of every candidate.
     */
-  /** Hyperplane-LSH signature table for an embedding corpus: one row per
-    * (vector, table) with the table's bucket key — the persisted artifact
-    * of an embedding dedup store, exactly as [[signBands]] is for text.
-    * The planes are a fixed function of (tables, planesPerTable, dim)
-    * (seeded PRNG), so signing a later batch with the SAME parameters
-    * over the SAME dimensionality reproduces the store's geometry — the
-    * contract [[incrementalEmbeddingNearDup]] relies on. One typed map,
-    * no shuffle; `dim` is read from the first row (one tiny action).
-    */
-  def signEmbeddings(emb: DataFrame, tables: Int = 6,
-      planesPerTable: Int = 8): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val dim = emb.select(size(col("embedding"))).first().getInt(0)
-    val rnd = new scala.util.Random(42)
-    val hyper = Array.fill(tables * planesPerTable, dim)(rnd.nextGaussian())
-    val hyperB = spark.sparkContext.broadcast(hyper)
-
-    // one bucket key per table: (table#, P-bit signature)
-    emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Seq[Float])]
-      .map { case (id, v) =>
-        val h = hyperB.value
-        val keys = Array.tabulate(tables) { t =>
-          var sig = 0L
-          var p = 0
-          while (p < planesPerTable) {
-            var dot = 0.0
-            var i = 0
-            val plane = h(t * planesPerTable + p)
-            while (i < v.length) { dot += plane(i) * v(i); i += 1 }
-            if (dot >= 0) sig |= (1L << p)
-            p += 1
-          }
-          (t.toLong << 32) | sig
-        }
-        (id, keys)
-      }.toDF("vec_id", "bucket_keys")
-      .select(col("vec_id"), explode(col("bucket_keys")).as("bucket"))
-  }
-
   def embeddingNearDup(emb: DataFrame, tau: Double = 0.95, tables: Int = 6,
       planesPerTable: Int = 8, maxBucket: Int = 64): DataFrame = {
     val spark = emb.sparkSession
@@ -898,28 +936,37 @@ object Dedup {
     *
     * Plan: identical shape to [[incrementalMinhash]] — batch signed
     * O(batch); store signature table capped at `maxBucket` ids per bucket
-    * with the overflow COUNTED into the output's `truncated` flag; ONE
+    * with the overflow COUNTED into the output's `truncated` flag
+    * ([[cappedStoreCandidates]], shared with the text modality); ONE
     * bucket equi-join; exact NaN-guarded cosine verification; min store
     * id per batch vector.
+    *
+    * `dim` anchors the hyperplane geometry. Left at 0 it is probed ONCE
+    * from `storeVecs` (the store is the durable side, so the store's
+    * dimensionality is authoritative — a wrong-dim batch then fails
+    * loudly inside [[signEmbeddings]] instead of bucketing randomly); a
+    * steady-state ingest should pass it explicitly to avoid the per-call
+    * probe action. An empty store means nothing can be a duplicate:
+    * empty result, no driver error — so a foreachBatch ingest can call
+    * this from its very first micro-batch.
     *
     * Output: (vec_id, dup_of, truncated).
     */
   def incrementalEmbeddingNearDup(batch: DataFrame, storeSig: DataFrame,
       storeVecs: DataFrame, tau: Double = 0.95, tables: Int = 6,
-      planesPerTable: Int = 8, maxBucket: Int = 64): DataFrame = {
-    val w = Window.partitionBy("bucket").orderBy("vec_id")
-    val marked = storeSig
-      .select(col("vec_id").cast("long").as("vec_id"), col("bucket"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= maxBucket + 1)
-    val flags = marked.groupBy("bucket")
-      .agg((max("rn") > maxBucket).cast("int").as("_btrunc"))
-    val cappedStore = marked.filter(col("rn") <= maxBucket)
-      .join(flags, Seq("bucket"))
-      .select(col("bucket"), col("vec_id").as("store_id"), col("_btrunc"))
-    val candidates = signEmbeddings(batch, tables, planesPerTable)
-      .join(cappedStore, Seq("bucket"))
-      .groupBy("vec_id", "store_id").agg(max("_btrunc").as("_trunc"))
+      planesPerTable: Int = 8, maxBucket: Int = 64, dim: Int = 0): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val d =
+      if (dim > 0) dim
+      else storeVecs.filter(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head(1) match {
+          case Array(row) => row.getInt(0)
+          case _ => return spark.emptyDataset[(Long, Long, Int)]
+            .toDF("vec_id", "dup_of", "truncated")
+        }
+    val candidates = cappedStoreCandidates(
+      signEmbeddings(batch, tables, planesPerTable, d), storeSig, "vec_id", maxBucket)
     val batchVecs = batch.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding").as("_bv"))
     val stVecs = storeVecs.select(col("vec_id").cast("long").as("store_id"),

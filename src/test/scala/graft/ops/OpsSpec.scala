@@ -1632,6 +1632,35 @@ class OpsSpec extends AnyFunSuite {
     assert(hotOut.toSeq == Seq((500L, 0L, 1)))
   }
 
+  test("incrementalEmbeddingNearDup edges: empty batch, empty store, NULL embedding, dim mismatch") {
+    import spark.implicits._
+    def oneHot(i: Int) = { val a = Array.fill(8)(0f); a(i) = 1f; a.toSeq }
+    val store = (0 until 4).map(i => (i.toLong, oneHot(i))).toDF("vec_id", "embedding")
+    val storeSig = Dedup.signEmbeddings(store)
+    // empty micro-batch (routine in continuous ingest): empty result, no
+    // driver error from the dim probe
+    val empty = spark.emptyDataset[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.incrementalEmbeddingNearDup(empty, storeSig, store).count() == 0)
+    // empty STORE (very first micro-batch of an ingest): nothing can be a
+    // duplicate — empty result, not a probe crash
+    assert(Dedup.incrementalEmbeddingNearDup(
+      Seq((9L, oneHot(0))).toDF("vec_id", "embedding"),
+      storeSig.filter(lit(false)), store.filter(lit(false))).count() == 0)
+    // NULL embedding: signBands parity — emits no signature rows, never a
+    // candidate, never an NPE (even as the batch's FIRST row)
+    val withNull = Seq((8L, null.asInstanceOf[Seq[Float]]), (9L, oneHot(1)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.incrementalEmbeddingNearDup(withNull, storeSig, store)
+      .as[(Long, Long, Int)].collect()
+    assert(out.toSeq == Seq((9L, 1L, 0)))
+    // batch/store dimensionality mismatch fails LOUDLY (random bucketing +
+    // prefix-cosine verification would otherwise lose recall silently)
+    val wrongDim = Seq((7L, Seq.fill(16)(1f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception](
+      Dedup.incrementalEmbeddingNearDup(wrongDim, storeSig, store).collect())
+    assert(ex.getMessage != null || ex.getCause != null)
+  }
+
   test("clusterSizeHistogram: exact family sizes and removal yield") {
     import spark.implicits._
     // clusters: {1,2} size 2, {3,4,5} size 3, {6,7} size 2
