@@ -419,6 +419,27 @@ object SparkEntry {
       Dedup.incrementalEmbeddingNearDup(batch, Dedup.signEmbeddings(store), store)
     }),
 
+    // Gopher n-gram repetition signals for n in {2, 3}: all-integer stats
+    // per (doc, n). The synthetic text repeats a small vocabulary, so the
+    // natural duplication exercises every column without planting
+    "q96_ngram_repetition" -> ((s, dir) =>
+      TextAnalysis.ngramRepetition(
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") < 150).select("doc_id", "text"))
+        .select("doc_id", "n", "total_chars", "total_ngrams",
+          "distinct_ngrams", "dup_occurrences", "top_occurrences",
+          "top_ngram_chars")),
+
+    // quality-threshold yield curve over the q77 surprisal scores: one row
+    // per distinct quantized score with survivors-at-threshold cumulative
+    // counts (docs and token weight) — all integers
+    "q97_yield_curve" -> ((s, dir) => {
+      val scored = TextAnalysis.unigramSurprisal(
+        s.read.parquet(s"$dir/documents.parquet"), vocabSize = 16)
+      TextAnalysis.yieldCurve(scored, "surprisal_c100", "n_tokens")
+        .select("score", "n_docs", "weight", "cum_docs", "cum_weight")
+    }),
+
     // hot-bucket truncation semantics, hash-gated: 50 identical vectors put
     // every table's bucket over maxBucket=8, so the bounded aggregation must
     // keep exactly the 8 SMALLEST ids (ascending cap), emit all C(8,2) pairs
@@ -971,6 +992,33 @@ object SparkEntry {
   // tokenize identically on EVERY input; change in lockstep with words()
   private val WORDS = """list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), w -> len(w) > 0)"""
 
+  /** q77's oracle, hoisted so q97's yield curve can restate it as a
+    * subquery — ONE mirror of the unigram-LM scoring chain (floor-log2
+    * surprisal quantized to c100), never two copies to drift.
+    */
+  private lazy val surprisalSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($WORDS) AS tok FROM documents),
+        counts AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY tok),
+        tot AS (SELECT len(bin(sum(cnt)::BIGINT)) - 1 AS maxs FROM counts),
+        vocab AS (SELECT tok, (SELECT maxs FROM tot) - (len(bin(cnt)) - 1) AS s
+                  FROM counts ORDER BY cnt DESC, tok LIMIT 16),
+        per AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                       sum(coalesce(v.s, (SELECT maxs FROM tot)))::BIGINT AS surprisal_sum
+                FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id),
+        sc AS (SELECT d.doc_id,
+                      coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+                      coalesce(p.surprisal_sum, 0)::BIGINT AS surprisal_sum,
+                      (CASE WHEN coalesce(p.n_tokens, 0) > 0
+                            THEN (p.surprisal_sum * 100) // p.n_tokens
+                            ELSE 0 END)::BIGINT AS surprisal_c100
+               FROM documents d LEFT JOIN per p USING (doc_id))
+        SELECT doc_id, n_tokens, surprisal_sum, surprisal_c100,
+               CASE WHEN n_tokens = 0 THEN 'empty'
+                    WHEN surprisal_c100 * 2 <= (SELECT maxs FROM tot) * 100 THEN 'fluent'
+                    WHEN surprisal_c100 * 4 <= (SELECT maxs FROM tot) * 300 THEN 'mid'
+                    ELSE 'rare' END AS ppl_bucket
+        FROM sc"""
+
   // the oracle-side mirror of ops.TextAnalysis.BpeTokenRe (same lockstep rule)
   private val BPE = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"""
 
@@ -1468,6 +1516,49 @@ object SparkEntry {
            ON list_cosine_similarity(b.embedding::DOUBLE[], s.embedding::DOUBLE[]) >= 0.95
          GROUP BY 1""",
 
+    // same n-gram derivation as the Spark kernel (WORDS split, space-joined
+    // windows), same tie-break (max count, then lexicographically smallest
+    // n-gram — byte order == Java code-unit order on this ASCII corpus);
+    // docs with < n words keep their all-zero row via the left join
+    "q96_ngram_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $WORDS AS w,
+                 coalesce(length(text), 0) AS total_chars
+               FROM documents WHERE doc_id < 150),
+          ns AS (SELECT unnest([2, 3]) AS n),
+          grams AS (SELECT doc_id, n, total_chars,
+                      list_transform(generate_series(1, greatest(len(w) - n + 1, 0)),
+                        i -> array_to_string(w[i:i+n-1], ' ')) AS gs
+                    FROM toks CROSS JOIN ns),
+          cnt AS (SELECT doc_id, n, g, count(*)::BIGINT AS c
+                  FROM (SELECT doc_id, n, unnest(gs) AS g FROM grams)
+                  GROUP BY 1, 2, 3),
+          per AS (SELECT doc_id, n, count(*)::BIGINT AS distinct_ngrams,
+                    coalesce(sum(c) FILTER (WHERE c > 1), 0)::BIGINT AS dup_occurrences,
+                    max(c)::BIGINT AS top_occurrences,
+                    length(first(g ORDER BY c DESC, g))::BIGINT AS top_ngram_chars
+                  FROM cnt GROUP BY 1, 2)
+          SELECT g.doc_id, g.n, g.total_chars::BIGINT AS total_chars,
+                 len(g.gs)::BIGINT AS total_ngrams,
+                 coalesce(p.distinct_ngrams, 0) AS distinct_ngrams,
+                 coalesce(p.dup_occurrences, 0) AS dup_occurrences,
+                 coalesce(p.top_occurrences, 0) AS top_occurrences,
+                 coalesce(p.top_ngram_chars, 0) AS top_ngram_chars
+          FROM grams g LEFT JOIN per p USING (doc_id, n)""",
+
+    // the q77 scoring chain restated as a subquery, then a plain grouped
+    // cumulative sum over the quantized score domain
+    "q97_yield_curve" ->
+      s"""WITH sc AS ($surprisalSql),
+          per AS (SELECT surprisal_c100 AS score, count(*)::BIGINT AS n_docs,
+                    sum(n_tokens)::BIGINT AS weight
+                  FROM sc GROUP BY 1)
+          SELECT score, n_docs, weight,
+            (sum(n_docs) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_docs,
+            (sum(weight) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_weight
+          FROM per""",
+
     // closed-form truncation oracle: the capped bucket keeps the 8 SMALLEST
     // of the 50 identical vectors (ids 0..7), all pairs verified at cosine
     // 1.0, truncated exact (bucket size 50 > 8)
@@ -1945,28 +2036,7 @@ object SparkEntry {
     // between engines for positive integers: no leading zeros), identical
     // deterministic vocabulary cut (count desc, token asc LIMIT 16), and
     // integer division (both positive, so // and div agree)
-    "q77_unigram_surprisal" ->
-      s"""WITH toks AS (SELECT doc_id, unnest($WORDS) AS tok FROM documents),
-          counts AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY tok),
-          tot AS (SELECT len(bin(sum(cnt)::BIGINT)) - 1 AS maxs FROM counts),
-          vocab AS (SELECT tok, (SELECT maxs FROM tot) - (len(bin(cnt)) - 1) AS s
-                    FROM counts ORDER BY cnt DESC, tok LIMIT 16),
-          per AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
-                         sum(coalesce(v.s, (SELECT maxs FROM tot)))::BIGINT AS surprisal_sum
-                  FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id),
-          sc AS (SELECT d.doc_id,
-                        coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
-                        coalesce(p.surprisal_sum, 0)::BIGINT AS surprisal_sum,
-                        (CASE WHEN coalesce(p.n_tokens, 0) > 0
-                              THEN (p.surprisal_sum * 100) // p.n_tokens
-                              ELSE 0 END)::BIGINT AS surprisal_c100
-                 FROM documents d LEFT JOIN per p USING (doc_id))
-          SELECT doc_id, n_tokens, surprisal_sum, surprisal_c100,
-                 CASE WHEN n_tokens = 0 THEN 'empty'
-                      WHEN surprisal_c100 * 2 <= (SELECT maxs FROM tot) * 100 THEN 'fluent'
-                      WHEN surprisal_c100 * 4 <= (SELECT maxs FROM tot) * 300 THEN 'mid'
-                      ELSE 'rare' END AS ppl_bucket
-          FROM sc""",
+    "q77_unigram_surprisal" -> surprisalSql,
 
     // identical hash intervals: md5(source) 32-bit prefix against the
     // cumulative binary-exact thresholds (0.75 / 0.875 of 2^32)

@@ -269,6 +269,105 @@ object TextAnalysis {
           .otherwise("ok"))
   }
 
+  /** Word n-gram repetition statistics — the n-gram half of the Gopher
+    * repetition rules ([[repetitionStats]] covers the line half): for each
+    * requested n, the document's total/distinct n-gram counts, the number
+    * of n-gram occurrences belonging to DUPLICATED n-grams (count > 1,
+    * first occurrence included — Gopher's "fraction of characters in
+    * duplicate n-grams" numerator family), and the most frequent n-gram's
+    * occurrence count and character length (its "fraction of characters in
+    * the top n-gram" signal is `top_occurrences * top_ngram_chars /
+    * total_chars`, left to the caller as a ratio of the emitted integers
+    * so a cross-engine hash compare stays exact — no floats here).
+    *
+    * Scale shape: ONE typed map, zero shuffle — per-doc n-gram counting is
+    * local to the doc, so the kernel is a per-row HashMap bounded by the
+    * doc's own length (the same O(doc) bound every extractor kernel
+    * carries), not an explode + corpus-wide groupBy on (doc, ngram). All
+    * `ns` are computed in a single pass over the split words.
+    *
+    * Tie-break for the top n-gram: highest count, then lexicographically
+    * smallest n-gram (Java code-unit order; agrees with DuckDB's byte
+    * order on ASCII corpora). Docs shorter than n words emit the row with
+    * all-zero counts — every input doc appears exactly |ns| times.
+    */
+  def ngramRepetition(docs: DataFrame, ns: Seq[Int] = Seq(2, 3),
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "need n-gram sizes >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nsArr = ns.toArray
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val chars = if (text == null) 0 else text.length
+        val ws =
+          if (text == null) Array.empty[String]
+          else text.split("[ \t\n\u000B\f\r]+").filter(_.nonEmpty)
+        nsArr.iterator.map { n =>
+          if (ws.length < n) (id, n, chars, 0, 0, 0, 0, 0)
+          else {
+            val total = ws.length - n + 1
+            val counts = new java.util.HashMap[String, Int](total * 2)
+            val sb = new java.lang.StringBuilder
+            var i = 0
+            while (i < total) {
+              sb.setLength(0)
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(ws(i + j))
+                j += 1
+              }
+              counts.merge(sb.toString, 1, (a, b) => a + b)
+              i += 1
+            }
+            var dupOcc = 0
+            var topC = 0
+            var topG: String = null
+            val it = counts.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              val c: Int = e.getValue
+              if (c > 1) dupOcc += c
+              if (c > topC || (c == topC && e.getKey.compareTo(topG) < 0)) {
+                topC = c; topG = e.getKey
+              }
+            }
+            (id, n, chars, total, counts.size, dupOcc, topC, topG.length)
+          }
+        }
+      }.toDF(idCol, "n", "total_chars", "total_ngrams", "distinct_ngrams",
+        "dup_occurrences", "top_occurrences", "top_ngram_chars")
+  }
+
+  /** Quality-threshold yield curve — the planning table behind every
+    * filter-threshold decision ("where do we cut?"): for each distinct
+    * value of an integer quality score, how many documents carry exactly
+    * that score and how many documents / how much weight (tokens, bytes)
+    * SURVIVE a `score <= threshold` cut at that value. One row per
+    * distinct score: (score, n_docs, weight, cum_docs, cum_weight), with
+    * the cumulative columns summed over all scores <= this one — lower
+    * scores are better here ([[unigramSurprisal]] semantics; flip the
+    * score's sign for a higher-is-better metric).
+    *
+    * Scale shape: one two-phase groupBy(score) with map-side partial
+    * aggregation reduces the corpus to |distinct scores| rows; ONLY that
+    * reduced table flows through the cumulative window, whose single-task
+    * ordering is over the score DOMAIN (a few hundred quantized values),
+    * never the corpus — the same bounded-window argument as the other
+    * dashboard aggregations.
+    */
+  def yieldCurve(df: DataFrame, scoreCol: String, weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(scoreCol).cast("long").as("score"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(weightCol)).cast("long").as("weight"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("cum_docs", sum("n_docs").over(w))
+      .withColumn("cum_weight", sum("weight").over(w))
+  }
+
   /** Vocabulary coverage — the out-of-vocabulary quality signal of
     * CCNet-style curation restated float-free: the corpus's own top
     * `vocabSize` terms by document frequency (ties broken by term, so the

@@ -1661,6 +1661,42 @@ class OpsSpec extends AnyFunSuite {
     assert(ex.getMessage != null || ex.getCause != null)
   }
 
+  test("ngramRepetition: hand-computed stats, tie-break, NULL text, short doc") {
+    import spark.implicits._
+    // "x y x y x z": 2-grams [x y, y x, x y, y x, x z] -> total 5, distinct 3,
+    // dup 4 (both doubled grams, first occurrences included), top tie (x y, y x)
+    // resolves lexicographically to "x y" (3 chars).
+    // 3-grams [x y x, y x y, x y x, y x z] -> total 4, distinct 3, dup 2,
+    // top "x y x" (5 chars). total_chars = 11.
+    val docs = Seq(
+      (1L, "x y x y x z"),
+      (2L, null.asInstanceOf[String]), // NULL text -> all-zero rows
+      (3L, "a")                        // < n words -> all-zero rows
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramRepetition(docs)
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out.size == 6) // every doc appears once per n
+    assert(out((1L, 2)) == ((1L, 2, 11, 5, 3, 4, 2, 3)))
+    assert(out((1L, 3)) == ((1L, 3, 11, 4, 3, 2, 2, 5)))
+    assert(out((2L, 2)) == ((2L, 2, 0, 0, 0, 0, 0, 0)))
+    assert(out((3L, 2)) == ((3L, 2, 1, 0, 0, 0, 0, 0)))
+    assert(out((3L, 3)) == ((3L, 3, 1, 0, 0, 0, 0, 0)))
+  }
+
+  test("yieldCurve: per-score groups and cumulative survivors") {
+    import spark.implicits._
+    val scored = Seq((1L, 10, 100), (2L, 10, 50), (3L, 20, 30), (4L, 5, 7))
+      .toDF("doc_id", "score_c", "w")
+    val out = TextAnalysis.yieldCurve(scored, "score_c", "w")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // ascending score, cumulative = everything at or below the threshold
+    assert(out.toSeq == Seq(
+      (5L, 1L, 7L, 1L, 7L),
+      (10L, 2L, 150L, 3L, 157L),
+      (20L, 1L, 30L, 4L, 187L)))
+  }
+
   test("clusterSizeHistogram: exact family sizes and removal yield") {
     import spark.implicits._
     // clusters: {1,2} size 2, {3,4,5} size 3, {6,7} size 2
