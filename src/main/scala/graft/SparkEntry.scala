@@ -422,6 +422,7 @@ object SparkEntry {
     // Gopher n-gram repetition signals for n in {2, 3}: all-integer stats
     // per (doc, n). The synthetic text repeats a small vocabulary, so the
     // natural duplication exercises every column without planting
+    // synthetic repeats into the fixture
     "q96_ngram_repetition" -> ((s, dir) =>
       TextAnalysis.ngramRepetition(
         s.read.parquet(s"$dir/documents.parquet")

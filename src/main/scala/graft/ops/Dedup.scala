@@ -263,7 +263,7 @@ object Dedup {
       .map { case (id, text) =>
         val words =
           if (text == null) Array.empty[String]
-          else text.split("\\s+").filter(_.nonEmpty)
+          else text.split(TextAnalysis.WhitespaceRe).filter(_.nonEmpty)
         val shingles: Iterator[String] =
           if (words.length < n) Iterator.empty
           else (0 to words.length - n).iterator.map(i => words.slice(i, i + n).mkString(" "))
@@ -777,7 +777,7 @@ object Dedup {
   /** Exact word-n-gram Jaccard of two texts (pure). */
   def jaccard(ta: String, tb: String, n: Int = 3): Double = {
     def sh(t: String): Set[String] = {
-      val w = t.split("\\s+").filter(_.nonEmpty)
+      val w = t.split(TextAnalysis.WhitespaceRe).filter(_.nonEmpty)
       if (w.length < n) Set.empty
       else (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" ")).toSet
     }

@@ -30,7 +30,14 @@ object TextAnalysis {
     * Spark-vs-oracle tokenization silently skews.
     */
   def words(textCol: Column): Column =
-    filter(split(textCol, "[ \\t\\n\\x0B\\f\\r]+"), w => length(w) > 0)
+    filter(split(textCol, WhitespaceRe), w => length(w) > 0)
+
+  /** The [[words]] whitespace class as a Java regex pattern — the ONE
+    * spelling shared by the Column splitter above and the typed kernels
+    * ([[ngramRepetition]]) so the split contract cannot fork per call
+    * site. Same lockstep rule as [[words]] vs `SparkEntry.WORDS`.
+    */
+  val WhitespaceRe = "[ \\t\\n\\x0B\\f\\r]+"
 
   /** The BPE-ish token pattern (letter runs | digit runs | single other
     * non-whitespace char) shared by [[tokenCounts]] and [[langTokenBudget]]
@@ -278,13 +285,17 @@ object TextAnalysis {
     * occurrence count and character length (its "fraction of characters in
     * the top n-gram" signal is `top_occurrences * top_ngram_chars /
     * total_chars`, left to the caller as a ratio of the emitted integers
-    * so a cross-engine hash compare stays exact — no floats here).
+    * so a cross-engine hash compare stays exact — no floats here). Both
+    * char counts are CODEPOINTS, matching [[quality]]'s `n_chars_obs`
+    * (Spark `length()`) and the DuckDB `length()` oracle mirror, not
+    * UTF-16 code units.
     *
     * Scale shape: ONE typed map, zero shuffle — per-doc n-gram counting is
     * local to the doc, so the kernel is a per-row HashMap bounded by the
     * doc's own length (the same O(doc) bound every extractor kernel
-    * carries), not an explode + corpus-wide groupBy on (doc, ngram). All
-    * `ns` are computed in a single pass over the split words.
+    * carries), not an explode + corpus-wide groupBy on (doc, ngram). The
+    * whitespace split is done once per doc; counting is one pass over the
+    * split words per requested n.
     *
     * Tie-break for the top n-gram: highest count, then lexicographically
     * smallest n-gram (Java code-unit order; agrees with DuckDB's byte
@@ -299,10 +310,10 @@ object TextAnalysis {
     val nsArr = ns.toArray
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val chars = if (text == null) 0 else text.length
+        val chars = if (text == null) 0 else text.codePointCount(0, text.length)
         val ws =
           if (text == null) Array.empty[String]
-          else text.split("[ \t\n\u000B\f\r]+").filter(_.nonEmpty)
+          else text.split(WhitespaceRe).filter(_.nonEmpty)
         nsArr.iterator.map { n =>
           if (ws.length < n) (id, n, chars, 0, 0, 0, 0, 0)
           else {
@@ -333,7 +344,8 @@ object TextAnalysis {
                 topC = c; topG = e.getKey
               }
             }
-            (id, n, chars, total, counts.size, dupOcc, topC, topG.length)
+            (id, n, chars, total, counts.size, dupOcc, topC,
+              topG.codePointCount(0, topG.length))
           }
         }
       }.toDF(idCol, "n", "total_chars", "total_ngrams", "distinct_ngrams",
@@ -356,10 +368,17 @@ object TextAnalysis {
     * ordering is over the score DOMAIN (a few hundred quantized values),
     * never the corpus — the same bounded-window argument as the other
     * dashboard aggregations.
+    *
+    * Rows with a NULL score are EXCLUDED: an unscoreable document survives
+    * no `score <= threshold` cut, so folding it into the cumulative counts
+    * (where Spark's NULLS-FIRST ordering would put it) would inflate every
+    * row. Callers wanting NULLs counted should coalesce them to a sentinel
+    * score first.
     */
   def yieldCurve(df: DataFrame, scoreCol: String, weightCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val per = df.groupBy(col(scoreCol).cast("long").as("score"))
+    val per = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("score"))
       .agg(count(lit(1)).as("n_docs"), sum(col(weightCol)).cast("long").as("weight"))
     val w = Window.orderBy(col("score"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1671,23 +1671,31 @@ class OpsSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "x y x y x z"),
       (2L, null.asInstanceOf[String]), // NULL text -> all-zero rows
-      (3L, "a")                        // < n words -> all-zero rows
+      (3L, "a"),                       // < n words -> all-zero rows
+      // non-BMP: U+1D11E is ONE codepoint (two UTF-16 units); char counts
+      // must be codepoints to match Spark/DuckDB length() semantics
+      (4L, "𝄞x 𝄞x")
     ).toDF("doc_id", "text")
     val out = TextAnalysis.ngramRepetition(docs)
       .as[(Long, Int, Int, Int, Int, Int, Int, Int)].collect()
       .map(r => (r._1, r._2) -> r).toMap
-    assert(out.size == 6) // every doc appears once per n
+    assert(out.size == 8) // every doc appears once per n
     assert(out((1L, 2)) == ((1L, 2, 11, 5, 3, 4, 2, 3)))
     assert(out((1L, 3)) == ((1L, 3, 11, 4, 3, 2, 2, 5)))
     assert(out((2L, 2)) == ((2L, 2, 0, 0, 0, 0, 0, 0)))
     assert(out((3L, 2)) == ((3L, 2, 1, 0, 0, 0, 0, 0)))
     assert(out((3L, 3)) == ((3L, 3, 1, 0, 0, 0, 0, 0)))
+    // 5 codepoints total; one 2-gram "(g)x (g)x" of 5 codepoints
+    assert(out((4L, 2)) == ((4L, 2, 5, 1, 1, 0, 1, 5)))
   }
 
   test("yieldCurve: per-score groups and cumulative survivors") {
     import spark.implicits._
-    val scored = Seq((1L, 10, 100), (2L, 10, 50), (3L, 20, 30), (4L, 5, 7))
-      .toDF("doc_id", "score_c", "w")
+    val scored = Seq(
+      (1L, Some(10), 100), (2L, Some(10), 50), (3L, Some(20), 30),
+      (4L, Some(5), 7),
+      (5L, None, 999) // NULL score: unscoreable, survives no cut -> excluded
+    ).toDF("doc_id", "score_c", "w")
     val out = TextAnalysis.yieldCurve(scored, "score_c", "w")
       .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
     // ascending score, cumulative = everything at or below the threshold
