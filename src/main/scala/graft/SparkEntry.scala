@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.ExtractedDoc
 import graft.gen.{SpanGen, Synth}
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis, WebOps}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, Sketch, TextAnalysis, WebOps}
 import graft.spark.{Checker, CheckedDoc, Pipeline, TextFunctions}
 
 /** Driver contract: every operator of SURVEY.md §2 surfaces here as a named
@@ -440,6 +440,57 @@ object SparkEntry {
       TextAnalysis.yieldCurve(scored, "surprisal_c100", "n_tokens")
         .select("score", "n_docs", "weight", "cum_docs", "cum_weight")
     }),
+
+    // KMV distinct-count sketch over corpus 3-gram shingles (k=64): the
+    // integer estimator is replayed bit-exactly by the oracle — shingle
+    // cardinality far exceeds k, so the saturated (estimation) path is the
+    // one gated; the exact under-k path is pinned in SketchSpec
+    "q98_kmv_distinct" -> ((s, dir) =>
+      Sketch.kmvDistinct(
+        Dedup.shingled(s.read.parquet(s"$dir/documents.parquet"), n = 3),
+        col("shingle"), k = 64)
+        .select("n_kept", "kth_hash", "est_distinct")),
+
+    // KMV union/intersection estimate between two overlapping corpus
+    // slices (doc_id % 2 vs % 3 — the % 6 docs are shared), valued on the
+    // doc TEXT so planted exact-dups also collide across slices
+    "q99_kmv_overlap" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Sketch.kmvOverlap(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        col("text"), k = 64)
+        .select("n_union_kept", "union_kth_hash", "est_union", "rho",
+          "est_intersection")
+    }),
+
+    // deterministic frame sampling (k=5) over the q32 media universe: the
+    // stub container always probes >= 8 frames, so the gated path is the
+    // evenly-spaced integer stride; the take-all path is pinned in a spec
+    "q100_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.mediaTable(extractFmt(s, dir, Seq(3, 4, 7, 8, 9))), k = 5)
+        .toDF()
+        .select("doc_id", "media_ref", "n_frames", "sample_rank",
+          "frame_idx", "frame_byte")),
+
+    // integer aspect-preserving resize planning (fit into 96x96) over the
+    // q32 decoded dimensions — pure column arithmetic, oracle-exact
+    "q101_resize_plan" -> ((s, dir) =>
+      Multimodal.resizePlan(
+        Multimodal.extractFeatures(
+          Multimodal.mediaTable(extractFmt(s, dir, Seq(3, 4, 7, 8, 9)))).toDF(),
+        maxDim = 96)
+        .select("doc_id", "media_ref", "width", "height",
+          "out_width", "out_height")),
+
+    // top-32 adjacent BPE-token pairs corpus-wide (the first tokenizer
+    // merge decision); (count desc, pair asc) is a total order so the cut
+    // is deterministic on both engines
+    "q102_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairStats(
+        s.read.parquet(s"$dir/documents.parquet"), k = 32)
+        .select("pair", "n_occurrences")),
 
     // hot-bucket truncation semantics, hash-gated: 50 identical vectors put
     // every table's bucket over maxBucket=8, so the bounded aggregation must
@@ -1559,6 +1610,106 @@ object SparkEntry {
             (sum(weight) OVER (ORDER BY score
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_weight
           FROM per""",
+
+    // the KMV sketch replayed exactly: same WORDS 3-gram shingles, same
+    // 32-bit md5-prefix hash (the hash32 mirror every sampling oracle
+    // uses), same k-smallest-distinct set, same integer estimator
+    // (k-1) * 2^32 // h_k
+    "q98_kmv_distinct" ->
+      s"""WITH toks AS (SELECT doc_id, $WORDS AS w FROM documents),
+          sh AS (SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                 FROM (SELECT w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+                       FROM toks)),
+          h AS (SELECT DISTINCT ('0x' || substr(md5(s), 1, 8))::BIGINT AS hv FROM sh),
+          kk AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+          st AS (SELECT count(*)::BIGINT AS n, max(hv) AS kth FROM kk)
+          SELECT n AS n_kept,
+                 (CASE WHEN n < 64 THEN -1 ELSE kth END)::BIGINT AS kth_hash,
+                 (CASE WHEN n < 64 THEN n
+                       ELSE (63 * 4294967296) // kth END)::BIGINT AS est_distinct
+          FROM st""",
+
+    // same two slices, same per-side k-smallest-distinct sketches, union
+    // sketch = k smallest of the two sketch sets, rho = union-sketch
+    // members present in BOTH sides, integer estimators as in the Spark op
+    "q99_kmv_overlap" ->
+      """WITH a AS (SELECT DISTINCT ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+                    FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+          b AS (SELECT DISTINCT ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+                FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL),
+          ka AS (SELECT h FROM a ORDER BY h LIMIT 64),
+          kb AS (SELECT h FROM b ORDER BY h LIMIT 64),
+          un AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 64),
+          st AS (SELECT count(*)::BIGINT AS n, max(h) AS kth,
+                   count(*) FILTER (WHERE h IN (SELECT h FROM ka)
+                                      AND h IN (SELECT h FROM kb))::BIGINT AS rho
+                 FROM un),
+          est AS (SELECT n, kth, rho,
+                    (CASE WHEN n < 64 THEN n
+                          ELSE (63 * 4294967296) // kth END)::BIGINT AS est_union
+                  FROM st)
+          SELECT n AS n_union_kept,
+                 (CASE WHEN n < 64 THEN -1 ELSE kth END)::BIGINT AS union_kth_hash,
+                 est_union,
+                 rho,
+                 (CASE WHEN n = 0 THEN 0
+                       ELSE (rho * est_union) // n END)::BIGINT AS est_intersection
+          FROM est""",
+
+    // stub container probe replayed: n_frames from payload byte 2 (md5
+    // block 0, hex offset 5), evenly-spaced integer stride i*n//5, frame
+    // byte at payload position frame_idx (block idx//16, offset idx%16) —
+    // n_frames >= 8 > 5 always, so the stride branch is the whole universe
+    "q100_frame_sample" ->
+      s"""WITH refs AS (
+            SELECT $K AS doc_id, 'fig' || $K || 'a.gif' AS media_ref FROM documents WHERE doc_id % 10 IN (3, 4)
+            UNION ALL SELECT $K, 'fig' || $K || 'b.gif' FROM documents WHERE doc_id % 10 IN (3, 4)
+            UNION ALL SELECT $K, 'img' || $K || '.gif' FROM documents WHERE doc_id % 10 = 7
+            UNION ALL SELECT $K, 'pimg' || $K || '.png' FROM documents WHERE doc_id % 10 IN (8, 9)),
+          fr AS (SELECT doc_id, media_ref,
+                   8 + (('0x' || substr(md5(media_ref || ':0'), 5, 2))::INT & 127) AS n_frames
+                 FROM refs),
+          idx AS (SELECT doc_id, media_ref, n_frames,
+                    unnest(generate_series(0, 4)) AS sample_rank
+                  FROM fr),
+          sampled AS (SELECT *, (sample_rank * n_frames) // 5 AS frame_idx FROM idx)
+          SELECT doc_id, media_ref, n_frames::INT AS n_frames,
+                 sample_rank::INT AS sample_rank, frame_idx::INT AS frame_idx,
+                 ('0x' || substr(md5(media_ref || ':' || (frame_idx // 16)),
+                    (frame_idx % 16) * 2 + 1, 2))::INT AS frame_byte
+          FROM sampled""",
+
+    // q32's dimension derivation + the integer aspect-fit arithmetic
+    // (dim * 96 // longest, floored at 1; <= 96 passes through)
+    "q101_resize_plan" ->
+      s"""WITH refs AS (
+            SELECT $K AS doc_id, 'fig' || $K || 'a.gif' AS media_ref FROM documents WHERE doc_id % 10 IN (3, 4)
+            UNION ALL SELECT $K, 'fig' || $K || 'b.gif' FROM documents WHERE doc_id % 10 IN (3, 4)
+            UNION ALL SELECT $K, 'img' || $K || '.gif' FROM documents WHERE doc_id % 10 = 7
+            UNION ALL SELECT $K, 'pimg' || $K || '.png' FROM documents WHERE doc_id % 10 IN (8, 9)),
+          dims AS (SELECT doc_id, media_ref,
+                     64 + (('0x' || substr(md5(media_ref || ':0'), 1, 2))::INT & 127) AS width,
+                     64 + (('0x' || substr(md5(media_ref || ':0'), 3, 2))::INT & 127) AS height
+                   FROM refs)
+          SELECT doc_id, media_ref, width, height,
+            (CASE WHEN greatest(width, height) <= 96 THEN width
+                  ELSE greatest((width * 96) // greatest(width, height), 1) END)::INT AS out_width,
+            (CASE WHEN greatest(width, height) <= 96 THEN height
+                  ELSE greatest((height * 96) // greatest(width, height), 1) END)::INT AS out_height
+          FROM dims""",
+
+    // same BPE tokenization, adjacent pairs space-joined (tokens never
+    // contain whitespace), (count desc, pair asc) total order, LIMIT 32
+    "q102_bpe_pairs" ->
+      s"""WITH toks AS (SELECT regexp_extract_all(text, '$BPE') AS t
+                        FROM documents WHERE text IS NOT NULL),
+          pairs AS (SELECT unnest(list_transform(
+                      generate_series(1, greatest(len(t) - 1, 0)),
+                      i -> t[i] || ' ' || t[i+1])) AS pair
+                    FROM toks)
+          SELECT pair, count(*)::BIGINT AS n_occurrences
+          FROM pairs GROUP BY pair
+          ORDER BY n_occurrences DESC, pair LIMIT 32""",
 
     // closed-form truncation oracle: the capped bucket keeps the 8 SMALLEST
     // of the 50 identical vectors (ids 0..7), all pairs verified at cosine

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media payloads ride as opaque `binary`
@@ -120,6 +120,86 @@ object Multimodal {
         .as("training_text"),
       size(filter(spans, s => s("kind") === "media")).as("n_media"),
       size(filter(spans, s => s("kind") === "text")).as("n_text_spans"))
+  }
+
+  final case class FrameRow(doc_id: String, media_ref: String, n_frames: Int,
+      sample_rank: Int, frame_idx: Int, frame_byte: Int, decode_error: String)
+
+  /** Deterministic frame sampling for video-like payloads — the
+    * frame-sample half of the multimodal decode family ([[extractFeatures]]
+    * is the image half): probe the container for its frame count, pick at
+    * most `k` evenly-spaced frame indices, and emit one row per sampled
+    * frame with a per-frame payload byte (the stand-in for a decoded
+    * frame's pixels; a real codec replaces [[stubDecode]]-style probing and
+    * the byte lookup, nothing else).
+    *
+    * Container probe is a DETERMINISTIC STUB like [[stubDecode]]:
+    * `n_frames = 8 + (payload[2] & 0x7f)` and
+    * `frame_byte = payload[frame_idx % len] & 0xff` — both closed-form over
+    * the md5-block [[synthBytes]] payloads so the DuckDB oracle can state
+    * every expected row.
+    *
+    * Sampling contract: if `n_frames <= k` every frame is taken in order;
+    * otherwise `frame_idx(i) = i * n_frames / k` for i in 0 until k
+    * (integer division — strictly increasing when n_frames > k, so ranks
+    * map to distinct frames). `sample_rank` is the 0-based output position.
+    *
+    * Scale shape: iterator-per-partition typed map, zero shuffle, output
+    * cardinality <= k rows per media row; probe failures become a single
+    * `decode_error` row (error side-channel, never a task failure).
+    */
+  def frameSample(media: Dataset[MediaIn], k: Int): Dataset[FrameRow] = {
+    require(k > 0, "k must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val bytes = m.content
+          if (bytes == null || bytes.length < 8)
+            throw new IllegalArgumentException("truncated payload")
+          val nFrames = 8 + (bytes(2) & 0x7f)
+          val taken = math.min(k, nFrames)
+          (0 until taken).iterator.map { i =>
+            val idx = if (nFrames <= k) i else i * nFrames / k
+            FrameRow(m.doc_id, m.media_ref, nFrames, i, idx,
+              bytes(idx % bytes.length) & 0xff, null)
+          }
+        } catch {
+          case e: Throwable =>
+            Iterator.single(
+              FrameRow(m.doc_id, m.media_ref, -1, -1, -1, -1, e.getMessage))
+        }
+      }
+    }
+  }
+
+  /** Integer resize planning over decoded dimensions — the resize half of
+    * the decode family, kept as PURE COLUMN EXPRESSIONS because the plan
+    * (output dimensions) is arithmetic on [[extractFeatures]]'s width and
+    * height; only the pixel resampling itself would live in the codec.
+    * Aspect-preserving fit into a `maxDim` square: dimensions already
+    * inside the box pass through; otherwise the longer side becomes
+    * `maxDim` and the shorter scales by the same integer-floor ratio
+    * (`dim * maxDim / longest`), floored at 1 so extreme aspect ratios
+    * never produce a zero dimension. Decode-error rows (width < 0) keep
+    * NULL output dimensions.
+    *
+    * Scale shape: map-only codegen'd projection, zero shuffle.
+    */
+  def resizePlan(feats: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, "maxDim must be positive")
+    val w = col("width")
+    val h = col("height")
+    val longest = greatest(w, h)
+    def scaled(dim: Column): Column =
+      greatest(floor(dim.cast("long") * maxDim / longest).cast("int"), lit(1))
+    feats
+      .withColumn("out_width",
+        when(w < 0, lit(null).cast("int"))
+          .when(longest <= maxDim, w).otherwise(scaled(w)))
+      .withColumn("out_height",
+        when(h < 0, lit(null).cast("int"))
+          .when(longest <= maxDim, h).otherwise(scaled(h)))
   }
 
   /** Referential-integrity audit between the interleaved span model and the

@@ -20,7 +20,7 @@ object Sampling {
     * One definition so a change cannot skew one operator's oracle while
     * the others keep passing.
     */
-  private def hash32(c: Column): Column =
+  private[ops] def hash32(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
   /** Deterministic stratified Bernoulli sample: keep a row iff the first

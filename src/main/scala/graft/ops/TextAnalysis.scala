@@ -95,6 +95,33 @@ object TextAnalysis {
       .withColumn("bpe_tokens",
         size(regexp_extract_all(col(textCol), lit(BpeTokenRe), lit(0))))
 
+  /** Corpus-wide adjacent-token pair counts — the first decision a BPE
+    * tokenizer trainer makes ("which pair merges first?") and the shape
+    * every subsequent merge iteration repeats: count occurrences of each
+    * adjacent ([[BpeTokenRe]]) token pair and return the top `k` by
+    * (count desc, pair asc — a total order, so the cut is deterministic).
+    * Tokens never contain whitespace, so the space-joined pair string is
+    * unambiguous. Docs with < 2 tokens (or NULL text) contribute nothing.
+    *
+    * Scale shape: codegen'd tokenize + pair projection on the scan, one
+    * explode, ONE groupBy(pair) with map-side partial aggregation (the
+    * shuffle carries distinct pairs per task, not occurrences), then
+    * TakeOrdered(k) — no global sort, no window. This is exactly the
+    * counting job real BPE trainers distribute.
+    */
+  def bpePairStats(docs: DataFrame, k: Int = 32, textCol: String = "text"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = regexp_extract_all(col(textCol), lit(BpeTokenRe), lit(0))
+    val idxs = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
+      .otherwise(lit(Array.empty[Int]))
+    val pairs = transform(idxs,
+      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    docs.select(explode(pairs).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Document fingerprint: minimum md5 over word 5-gram shingles (a
     * winnowing-style content fingerprint robust to reordering of far-apart
     * sections); md5(text) when the doc has < 5 words.

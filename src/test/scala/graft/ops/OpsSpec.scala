@@ -1752,6 +1752,60 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSet == want)
   }
 
+  test("frameSample: stride selection, take-all path, error side-channel") {
+    import spark.implicits._
+    val payload = Multimodal.synthBytes("vid1") // byte 2 determines n_frames
+    val nFrames = 8 + (payload(2) & 0x7f)
+    val media = Seq(
+      Multimodal.MediaIn("d1", "vid1", payload),
+      Multimodal.MediaIn("d2", "bad", Array[Byte](1, 2)) // truncated -> error row
+    ).toDS()
+    val out = Multimodal.frameSample(media, k = 5).collect()
+    val ok = out.filter(_.decode_error == null)
+    assert(ok.length == 5 && ok.forall(_.n_frames == nFrames))
+    // evenly spaced integer stride, strictly increasing, exact byte values
+    assert(ok.sortBy(_.sample_rank).map(_.frame_idx).toSeq ==
+      (0 until 5).map(i => i * nFrames / 5))
+    assert(ok.forall(f => f.frame_byte == (payload(f.frame_idx % payload.length) & 0xff)))
+    val err = out.filter(_.decode_error != null)
+    assert(err.length == 1 && err.head.media_ref == "bad" && err.head.n_frames == -1)
+    // take-all path: k >= n_frames emits every frame in order
+    val all = Multimodal.frameSample(media.filter(_.media_ref == "vid1"), k = 1000)
+      .collect().sortBy(_.sample_rank)
+    assert(all.length == nFrames && all.map(_.frame_idx).toSeq == (0 until nFrames))
+  }
+
+  test("resizePlan: pass-through, integer aspect fit, floor at 1, error rows NULL") {
+    import spark.implicits._
+    val feats = Seq(
+      ("d1", "a", 80, 96),    // inside the box: pass-through
+      ("d2", "b", 191, 100),  // landscape: long side -> 96, short floors
+      ("d3", "c", 100, 191),  // portrait
+      ("d4", "d", -1, -1)     // decode-error row -> NULL out dims
+    ).toDF("doc_id", "media_ref", "width", "height")
+    val out = Multimodal.resizePlan(feats, maxDim = 96)
+      .select("doc_id", "out_width", "out_height")
+      .as[(String, Option[Int], Option[Int])].collect().sortBy(_._1)
+    assert(out(0) == (("d1", Some(80), Some(96))))
+    assert(out(1) == (("d2", Some(96), Some(100 * 96 / 191))))
+    assert(out(2) == (("d3", Some(100 * 96 / 191), Some(96))))
+    assert(out(3) == (("d4", None, None)))
+  }
+
+  test("bpePairStats: counts, tie-break cut, short and NULL docs contribute nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"),  // pairs: a b, b a, a b, b c
+      (2L, "a"),          // single token: nothing
+      (3L, null.asInstanceOf[String]),
+      (4L, "b c")         // one pair: b c
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairStats(docs, k = 2)
+      .as[(String, Long)].collect().toSeq
+    // counts: "a b" 2, "b c" 2, "b a" 1; top-2 cut by (count desc, pair asc)
+    assert(out == Seq(("a b", 2L), ("b c", 2L)))
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
