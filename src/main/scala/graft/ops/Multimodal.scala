@@ -153,21 +153,23 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { m =>
+        // build the <= k rows EAGERLY inside the try: a lazy iterator body
+        // would escape the catch, and a real codec's per-frame lookup must
+        // land in the error side-channel, not fail the task
         try {
           val bytes = m.content
           if (bytes == null || bytes.length < 8)
             throw new IllegalArgumentException("truncated payload")
           val nFrames = 8 + (bytes(2) & 0x7f)
           val taken = math.min(k, nFrames)
-          (0 until taken).iterator.map { i =>
+          Vector.tabulate(taken) { i =>
             val idx = if (nFrames <= k) i else i * nFrames / k
             FrameRow(m.doc_id, m.media_ref, nFrames, i, idx,
               bytes(idx % bytes.length) & 0xff, null)
           }
         } catch {
           case e: Throwable =>
-            Iterator.single(
-              FrameRow(m.doc_id, m.media_ref, -1, -1, -1, -1, e.getMessage))
+            Vector(FrameRow(m.doc_id, m.media_ref, -1, -1, -1, -1, e.getMessage))
         }
       }
     }

@@ -80,6 +80,23 @@ object Sketch {
     if (sketch.length < k) sketch.length.toLong
     else (k - 1).toLong * TwoPow32 / sketch.last
 
+  /** ONE spelling of the hash-project/filter/aggregate sketch build, shared
+    * by [[kmvDistinct]] and [[kmvOverlap]] so the q98/q99 oracle mirrors
+    * cannot drift apart: one-row DataFrame with a single sorted-distinct
+    * `sketch` array column. NULL values are excluded (SQL COUNT(DISTINCT)
+    * semantics). The KMV estimator is undefined at k=1 (numerator k-1 = 0),
+    * hence the k >= 2 floor.
+    */
+  private def buildSketch(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+    require(k >= 2, "KMV estimator is defined for k >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.select(Sampling.hash32(valueCol).as("h"))
+      .filter(col("h").isNotNull).as[Long]
+    // typed select (the untyped overload rejects a TypedColumn at runtime)
+    hashed.select(new KMinDistinctAgg(k).toColumn).toDF("sketch")
+  }
+
   /** One-row KMV distinct-count sketch of `valueCol`:
     * `(n_kept, kth_hash, est_distinct)`. `kth_hash` is -1 when the value
     * universe is smaller than k (the estimate is then EXACT — it is the
@@ -89,9 +106,7 @@ object Sketch {
   def kmvDistinct(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val hashed = df.select(Sampling.hash32(valueCol).as("h"))
-      .filter(col("h").isNotNull).as[Long]
-    hashed.select(new KMinDistinctAgg(k).toColumn.name("sketch")).as[Seq[Long]]
+    buildSketch(df, valueCol, k).select(col("sketch")).as[Seq[Long]]
       .map { sk =>
         (sk.length.toLong, if (sk.length < k) -1L else sk.last, estimate(sk, k))
       }.toDF("n_kept", "kth_hash", "est_distinct")
@@ -113,16 +128,10 @@ object Sketch {
   def kmvOverlap(dfA: DataFrame, dfB: DataFrame, valueCol: Column, k: Int): DataFrame = {
     val spark = dfA.sparkSession
     import spark.implicits._
-    def sketchOf(df: DataFrame): DataFrame = {
-      val hashed = df.select(Sampling.hash32(valueCol).as("h"))
-        .filter(col("h").isNotNull).as[Long]
-      // typed select (the untyped overload rejects a TypedColumn at runtime)
-      hashed.select(new KMinDistinctAgg(k).toColumn).toDF("sketch")
-    }
     // two one-row frames; the cross join is 1x1 (no skew, no data motion
     // beyond the two k-length arrays)
-    val joined = sketchOf(dfA).withColumnRenamed("sketch", "ska")
-      .crossJoin(sketchOf(dfB).withColumnRenamed("sketch", "skb"))
+    val joined = buildSketch(dfA, valueCol, k).withColumnRenamed("sketch", "ska")
+      .crossJoin(buildSketch(dfB, valueCol, k).withColumnRenamed("sketch", "skb"))
       .as[(Seq[Long], Seq[Long])]
     joined.map { case (ska, skb) =>
       val un = mergeDistinct(ska, skb, k)

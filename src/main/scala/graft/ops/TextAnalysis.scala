@@ -111,12 +111,18 @@ object TextAnalysis {
     */
   def bpePairStats(docs: DataFrame, k: Int = 32, textCol: String = "text"): DataFrame = {
     require(k > 0, "k must be positive")
-    val toks = regexp_extract_all(col(textCol), lit(BpeTokenRe), lit(0))
+    // materialize the token array ONCE per row (the Dedup.shingled pattern):
+    // inlining the regexp into the transform() lambda would re-tokenize the
+    // whole document per pair index — higher-order lambdas are outside
+    // subexpression elimination, so that inlining is quadratic per doc
+    val toks = col("_toks")
     val idxs = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
       .otherwise(lit(Array.empty[Int]))
     val pairs = transform(idxs,
       i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
-    docs.select(explode(pairs).as("pair"))
+    docs
+      .withColumn("_toks", regexp_extract_all(col(textCol), lit(BpeTokenRe), lit(0)))
+      .select(explode(pairs).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(k)

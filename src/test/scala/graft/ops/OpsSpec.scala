@@ -1804,6 +1804,13 @@ class OpsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     // counts: "a b" 2, "b c" 2, "b a" 1; top-2 cut by (count desc, pair asc)
     assert(out == Seq(("a b", 2L), ("b c", 2L)))
+    // the tokenization must appear ONCE in the optimized plan: if
+    // CollapseProject inlined _toks into the pair lambda, the regexp would
+    // re-execute per pair index (quadratic per doc). repartition blocks
+    // ConvertToLocalRelation from folding the regexp away entirely
+    val plan = TextAnalysis.bpePairStats(docs.repartition(1), k = 2)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.split("regexp_extract_all", -1).length - 1 == 1, plan)
   }
 
   private def md5Hex(s: String): String =
