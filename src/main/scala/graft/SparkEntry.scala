@@ -492,6 +492,37 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), k = 32)
         .select("pair", "n_occurrences")),
 
+    // term-frequency spectrum (frequency of frequencies — the Good-Turing
+    // input and Zipf-health fingerprint): two cascaded aggs, all integers
+    "q103_term_spectrum" -> ((s, dir) =>
+      TextAnalysis.termFrequencySpectrum(
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select("occurrences", "n_terms")),
+
+    // incremental KMV: a store of two per-slice sketch rows merged with a
+    // raw batch slice — the merged estimate must equal what the oracle
+    // computes from the three k-smallest-distinct sets
+    "q104_kmv_merge" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val store = Sketch.kmvSketch(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), col("text"), 64)
+        .unionByName(Sketch.kmvSketch(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 2), col("text"), 64))
+      Sketch.kmvMerge(store,
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0), col("text"), 64)
+        .select("n_kept", "kth_hash", "est_distinct")
+    }),
+
+    // BPE training gated at its first merge (the slice ANSI SQL can
+    // state: the top weighted char pair over the word table); the
+    // multi-merge loop, tie-breaks, greedy non-overlap application and
+    // the maxWords cap are pinned in OpsSpec
+    "q105_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(
+        s.read.parquet(s"$dir/documents.parquet"), nMerges = 1,
+        maxWords = 4096)
+        .select("rank", "lhs", "rhs", "pair_count")),
+
     // hot-bucket truncation semantics, hash-gated: 50 identical vectors put
     // every table's bucket over maxBucket=8, so the bounded aggregation must
     // keep exactly the 8 SMALLEST ids (ascending cap), emit all C(8,2) pairs
@@ -1710,6 +1741,49 @@ object SparkEntry {
           SELECT pair, count(*)::BIGINT AS n_occurrences
           FROM pairs GROUP BY pair
           ORDER BY n_occurrences DESC, pair LIMIT 32""",
+
+    // same WORDS tokenization, term counts, then the count-of-counts
+    "q103_term_spectrum" ->
+      s"""WITH toks AS (SELECT unnest($WORDS) AS term FROM documents),
+          tc AS (SELECT term, count(*)::BIGINT AS occurrences FROM toks GROUP BY term)
+          SELECT occurrences, count(*)::BIGINT AS n_terms
+          FROM tc GROUP BY occurrences""",
+
+    // the two store slices enter as their k-smallest-distinct sketch
+    // sets, the batch as its full distinct hash set; merged = k smallest
+    // of the union, same integer estimator as q98
+    "q104_kmv_merge" ->
+      """WITH h0 AS (SELECT DISTINCT ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+                     FROM documents WHERE doc_id % 4 = 0 AND text IS NOT NULL),
+          h2 AS (SELECT DISTINCT ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+                 FROM documents WHERE doc_id % 4 = 2 AND text IS NOT NULL),
+          hb AS (SELECT DISTINCT ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+                 FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL),
+          k0 AS (SELECT h FROM h0 ORDER BY h LIMIT 64),
+          k2 AS (SELECT h FROM h2 ORDER BY h LIMIT 64),
+          un AS (SELECT h FROM (SELECT h FROM k0 UNION SELECT h FROM k2
+                                UNION SELECT h FROM hb) ORDER BY h LIMIT 64),
+          st AS (SELECT count(*)::BIGINT AS n, max(h) AS kth FROM un)
+          SELECT n AS n_kept,
+                 (CASE WHEN n < 64 THEN -1 ELSE kth END)::BIGINT AS kth_hash,
+                 (CASE WHEN n < 64 THEN n
+                       ELSE (63 * 4294967296) // kth END)::BIGINT AS est_distinct
+          FROM st""",
+
+    // BPE first merge: word-frequency table (count desc, term asc LIMIT
+    // 4096 — same deterministic cut), overlapping adjacent char pairs
+    // weighted by word count, (pair_count desc, lhs, rhs) total order
+    "q105_bpe_train" ->
+      s"""WITH toks AS (SELECT unnest($WORDS) AS term FROM documents),
+          wc AS (SELECT term, count(*)::BIGINT AS c FROM toks
+                 GROUP BY term ORDER BY c DESC, term LIMIT 4096),
+          pos AS (SELECT term, c, unnest(generate_series(1, length(term) - 1)) AS i
+                  FROM wc),
+          pr AS (SELECT substr(term, i, 1) AS lhs, substr(term, i + 1, 1) AS rhs, c
+                 FROM pos)
+          SELECT 1 AS rank, lhs, rhs, sum(c)::BIGINT AS pair_count
+          FROM pr GROUP BY lhs, rhs
+          ORDER BY pair_count DESC, lhs, rhs LIMIT 1""",
 
     // closed-form truncation oracle: the capped bucket keeps the 8 SMALLEST
     // of the 50 identical vectors (ids 0..7), all pairs verified at cosine

@@ -80,36 +80,72 @@ object Sketch {
     if (sketch.length < k) sketch.length.toLong
     else (k - 1).toLong * TwoPow32 / sketch.last
 
-  /** ONE spelling of the hash-project/filter/aggregate sketch build, shared
-    * by [[kmvDistinct]] and [[kmvOverlap]] so the q98/q99 oracle mirrors
-    * cannot drift apart: one-row DataFrame with a single sorted-distinct
-    * `sketch` array column. NULL values are excluded (SQL COUNT(DISTINCT)
-    * semantics). The KMV estimator is undefined at k=1 (numerator k-1 = 0),
-    * hence the k >= 2 floor.
+  /** ONE spelling of the value→hash projection, shared by every sketch
+    * entry point so the q98/q99/q104 oracle mirrors cannot drift apart.
+    * NULL values are excluded (SQL COUNT(DISTINCT) semantics).
     */
-  private def buildSketch(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+  private def hashCol(valueCol: Column): Column =
+    Sampling.hash32(valueCol).as("h")
+
+  /** One-row sorted-distinct `sketch` array over a frame of `h` hash rows.
+    * The KMV estimator is undefined at k=1 (numerator k-1 = 0), hence the
+    * k >= 2 floor on every entry point.
+    */
+  private def sketchOfHashes(hashRows: DataFrame, k: Int): DataFrame = {
     require(k >= 2, "KMV estimator is defined for k >= 2")
-    val spark = df.sparkSession
+    val spark = hashRows.sparkSession
     import spark.implicits._
-    val hashed = df.select(Sampling.hash32(valueCol).as("h"))
-      .filter(col("h").isNotNull).as[Long]
     // typed select (the untyped overload rejects a TypedColumn at runtime)
-    hashed.select(new KMinDistinctAgg(k).toColumn).toDF("sketch")
+    hashRows.filter(col("h").isNotNull).as[Long]
+      .select(new KMinDistinctAgg(k).toColumn).toDF("sketch")
   }
 
-  /** One-row KMV distinct-count sketch of `valueCol`:
-    * `(n_kept, kth_hash, est_distinct)`. `kth_hash` is -1 when the value
+  /** Finish a one-row sketch frame into the public triple
+    * `(n_kept, kth_hash, est_distinct)`; `kth_hash` is -1 when the value
     * universe is smaller than k (the estimate is then EXACT — it is the
-    * universe size). NULL values are excluded (SQL COUNT(DISTINCT)
-    * semantics).
+    * universe size).
     */
-  def kmvDistinct(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
-    val spark = df.sparkSession
+  private def finishSketch(skDf: DataFrame, k: Int): DataFrame = {
+    val spark = skDf.sparkSession
     import spark.implicits._
-    buildSketch(df, valueCol, k).select(col("sketch")).as[Seq[Long]]
+    skDf.select(col("sketch")).as[Seq[Long]]
       .map { sk =>
         (sk.length.toLong, if (sk.length < k) -1L else sk.last, estimate(sk, k))
       }.toDF("n_kept", "kth_hash", "est_distinct")
+  }
+
+  /** The raw one-row sketch of `valueCol` (`sketch: array<long>`) — the
+    * PERSISTABLE form: sketches of disjoint (or overlapping) corpus slices
+    * written as rows of this shape merge losslessly via [[kmvMerge]], so a
+    * standing store of per-batch sketch rows IS a running distinct count
+    * ([[graft.streaming.StreamingSketch]] builds on exactly this).
+    */
+  def kmvSketch(df: DataFrame, valueCol: Column, k: Int): DataFrame =
+    sketchOfHashes(df.select(hashCol(valueCol)), k)
+
+  /** One-row KMV distinct-count estimate of `valueCol`:
+    * `(n_kept, kth_hash, est_distinct)`.
+    */
+  def kmvDistinct(df: DataFrame, valueCol: Column, k: Int): DataFrame =
+    finishSketch(kmvSketch(df, valueCol, k), k)
+
+  /** Incremental form: merge a standing store of sketch rows (any number
+    * of rows of [[kmvSketch]] shape — per-batch sketches, per-shard
+    * sketches) with a NEW batch of raw values, and return the merged
+    * `(n_kept, kth_hash, est_distinct)` over everything the store has seen
+    * plus the batch. Correct because each stored row kept the k smallest
+    * distinct hashes of its slice: the k smallest of (∪ sketches ∪ batch
+    * hashes) equal the k smallest of the underlying union.
+    *
+    * Scale shape: the store contributes |store rows| × k hash rows (tiny),
+    * the batch one scan; ONE bounded aggregation over both — per-ingest
+    * cost grows with the batch, never with a re-scan of the corpus.
+    */
+  def kmvMerge(storeSketches: DataFrame, batch: DataFrame, valueCol: Column,
+      k: Int): DataFrame = {
+    val storeH = storeSketches.select(explode(col("sketch")).as("h"))
+    val batchH = batch.select(hashCol(valueCol))
+    finishSketch(sketchOfHashes(storeH.unionByName(batchH), k), k)
   }
 
   /** KMV set-operation estimates between two corpora (the release-diff
@@ -130,8 +166,8 @@ object Sketch {
     import spark.implicits._
     // two one-row frames; the cross join is 1x1 (no skew, no data motion
     // beyond the two k-length arrays)
-    val joined = buildSketch(dfA, valueCol, k).withColumnRenamed("sketch", "ska")
-      .crossJoin(buildSketch(dfB, valueCol, k).withColumnRenamed("sketch", "skb"))
+    val joined = kmvSketch(dfA, valueCol, k).withColumnRenamed("sketch", "ska")
+      .crossJoin(kmvSketch(dfB, valueCol, k).withColumnRenamed("sketch", "skb"))
       .as[(Seq[Long], Seq[Long])]
     joined.map { case (ska, skb) =>
       val un = mergeDistinct(ska, skb, k)

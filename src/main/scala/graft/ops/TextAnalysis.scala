@@ -128,6 +128,100 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Term-frequency spectrum ("frequency of frequencies"): for each
+    * occurrence count c, how many distinct [[words]] terms occur exactly c
+    * times corpus-wide. The input to Good-Turing smoothing and the
+    * standard corpus-health fingerprint (a healthy natural-language corpus
+    * is Zipfian: n_terms(1) dominates; boilerplate-heavy or
+    * template-generated corpora bend the curve).
+    *
+    * Scale shape: two cascaded map-side-combined aggregations — term
+    * counts (shuffle carries distinct terms per task, not occurrences),
+    * then the count-of-counts over the tiny occurrence domain. No window,
+    * no join.
+    */
+  def termFrequencySpectrum(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(words(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("occurrences"))
+      .groupBy("occurrences").agg(count(lit(1)).as("n_terms"))
+
+  /** BPE tokenizer training on the word-frequency table — the shape real
+    * distributed trainers use: ONE corpus pass reduces the stream to
+    * (word, count) rows, the top `maxWords` words by (count desc, word
+    * asc) become the bounded in-memory model, and the merge loop runs on
+    * that table (cost O(nMerges × Σ|word|), corpus never re-scanned).
+    * Words start as single-character symbol sequences; each round counts
+    * adjacent symbol pairs weighted by word count (overlapping
+    * occurrences counted, the Sennrich convention), merges the most
+    * frequent pair everywhere (greedy left-to-right, non-overlapping),
+    * and records it. Ties break by (pair_count desc, lhs asc, rhs asc) —
+    * a total order, so training is deterministic.
+    *
+    * Output: one row per merge, `(rank, lhs, rhs, pair_count)`, rank
+    * 1-based in merge order. Stops early (fewer rows) when no pair occurs
+    * anymore. The `maxWords` cap bounds driver memory like
+    * [[unigramSurprisal]]'s vocabulary and `ivfAnn`'s codebook — the cut
+    * is deterministic and the dropped tail is the lowest-count words.
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int, maxWords: Int = 65536,
+      textCol: String = "text"): DataFrame = {
+    require(nMerges > 0 && maxWords > 0, "need nMerges > 0 and maxWords > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordTable = docs.select(explode(words(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term"))
+      .limit(maxWords)
+      .as[(String, Long)].collect() // bounded by maxWords BY CONSTRUCTION
+    var syms: Array[Array[String]] =
+      wordTable.map(_._1.map(_.toString).toArray)
+    val counts = wordTable.map(_._2)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val pairCounts = new java.util.HashMap[(String, String), Long]
+      var w = 0
+      while (w < syms.length) {
+        val s = syms(w)
+        var i = 0
+        while (i < s.length - 1) {
+          pairCounts.merge((s(i), s(i + 1)), counts(w), (a, b) => a + b)
+          i += 1
+        }
+        w += 1
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        var best: (String, String) = null
+        var bestC = 0L
+        pairCounts.forEach { (p, c) =>
+          if (c > bestC || (c == bestC &&
+              (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+            best = p; bestC = c
+          }
+        }
+        merges += ((r, best._1, best._2, bestC))
+        // greedy left-to-right non-overlapping replacement in every word
+        syms = syms.map { s =>
+          if (s.length < 2) s
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == best._1 && s(i + 1) == best._2) {
+                out += s(i) + s(i + 1); i += 2
+              } else { out += s(i); i += 1 }
+            }
+            out.toArray
+          }
+        }
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
   /** Document fingerprint: minimum md5 over word 5-gram shingles (a
     * winnowing-style content fingerprint robust to reordering of far-apart
     * sections); md5(text) when the doc has < 5 words.

@@ -1813,6 +1813,53 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.split("regexp_extract_all", -1).length - 1 == 1, plan)
   }
 
+  test("termFrequencySpectrum: hand-computed frequency of frequencies") {
+    import spark.implicits._
+    // terms: a x3, b x2, c x2, d x1, e x1, f x1 -> spectrum {1:3, 2:2, 3:1}
+    val docs = Seq(
+      (1L, "a b c a"), (2L, "a b c d"), (3L, "e f"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.termFrequencySpectrum(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("bpeTrain: merge order, ties, greedy non-overlap, early stop") {
+    import spark.implicits._
+    // words: low x3, lower x1, aaa x2. Round-by-round (count desc, lhs,
+    // rhs): (a,a)=4 ties (l,o)=4 and (o,w)=4 -> lexicographic; "aaa"
+    // merges greedily to [aa, a]; training dries up after 6 merges.
+    val docs = Seq((1L, "low low low lower aaa aaa")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(docs, nMerges = 10)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1, "a", "a", 4L), (2, "l", "o", 4L), (3, "lo", "w", 4L),
+      (4, "aa", "a", 2L), (5, "e", "r", 1L), (6, "low", "er", 1L)))
+  }
+
+  test("bpeTrain: maxWords cap keeps the top words deterministically") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low low lower aaa aaa")).toDF("doc_id", "text")
+    // cap at 1 word: only "low" (count 3) survives the (count desc, term) cut
+    val out = TextAnalysis.bpeTrain(docs, nMerges = 2, maxWords = 1)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, "l", "o", 3L), (2, "lo", "w", 3L)))
+  }
+
+  test("kmvMerge: store-of-sketches plus batch equals one sketch over the union") {
+    import spark.implicits._
+    val vals = (0 until 300).map(i => s"val$i")
+    val (s1, s2, batch) = (vals.take(100), vals.slice(80, 200), vals.drop(180))
+    val store = Sketch.kmvSketch(s1.toDF("v"), col("v"), 16)
+      .unionByName(Sketch.kmvSketch(s2.toDF("v"), col("v"), 16))
+    val merged = Sketch.kmvMerge(store, batch.toDF("v"), col("v"), 16)
+      .as[(Long, Long, Long)].head()
+    val direct = Sketch.kmvDistinct(vals.toDF("v"), col("v"), 16)
+      .as[(Long, Long, Long)].head()
+    assert(merged == direct)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
