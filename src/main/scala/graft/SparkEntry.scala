@@ -1055,8 +1055,32 @@ object SparkEntry {
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "view"))
         .select("event_id", "user_id", "matched_event_id", "gap_sec")
-    })
+    }),
+
+    // BPE encode with a FIXED literal merge list (all lhs != rhs, so the
+    // greedy kernel is confluent and the oracle's delimiter-guarded
+    // double-replace chain reaches the same fixpoint — see bpeEncode's
+    // scaladoc); the encode-of-trained-merges composition and lhs == rhs
+    // behavior are pinned in OpsSpec
+    "q106_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(
+        s.read.parquet(s"$dir/documents.parquet"), bpeMerges)
+        .select("doc_id", "n_words", "n_sym_chars", "n_bpe_tokens")),
+
+    // tokenizer fertility by predicted language under the same merge list
+    "q107_bpe_fertility" -> ((s, dir) =>
+      TextAnalysis.bpeFertility(
+        s.read.parquet(s"$dir/documents.parquet"), bpeMerges)
+        .select("lang_pred", "n_docs", "n_words", "n_bpe_tokens"))
   )
+
+  /** q106/q107's fixed merge list. Every pair has lhs != rhs (the
+    * oracle-replayability precondition — [[graft.ops.TextAnalysis.bpeEncode]])
+    * and applies in rank order, later merges consuming earlier outputs
+    * ("th"+"e") exactly as a trained merge table would.
+    */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"), ("o", "n"))
 
   // ----------------------------------------------------------------- oracles
 
@@ -2666,8 +2690,58 @@ object SparkEntry {
           SELECT doc_id, chunk_id,
                  array_to_string(w[chunk_id*24 + 1 : chunk_id*24 + 32], ' ') AS chunk_text,
                  least(32, len(w) - chunk_id*24) AS n_chunk_tokens
-          FROM c"""
+          FROM c""",
+
+    // the greedy merge kernel replayed as a delimiter-guarded replace
+    // chain: each word renders as '|c|h|a|r|s|', each merge applies as two
+    // replace passes (lhs != rhs makes occurrences disjoint, so the
+    // fixpoint equals the greedy result and pass two reaches it); token
+    // count = pipes - 1. '|' never collides with the corpus alphabet —
+    // WORDS tokens are whitespace-free but pipes in exotic corpora would
+    // need a different guard.
+    "q106_bpe_encode" ->
+      s"""WITH d AS (SELECT doc_id, coalesce($WORDS, CAST([] AS VARCHAR[])) AS w
+                     FROM documents),
+          enc AS (SELECT doc_id, w,
+                    list_transform(w, x -> ${bpeEncSql("x")}) AS e
+                  FROM d)
+          SELECT doc_id, len(w)::BIGINT AS n_words,
+                 coalesce(list_aggregate(list_transform(w, x -> length(x)), 'sum'), 0)::BIGINT AS n_sym_chars,
+                 coalesce(list_aggregate(list_transform(e, s ->
+                   length(s) - length(replace(s, '|', '')) - 1), 'sum'), 0)::BIGINT AS n_bpe_tokens
+          FROM enc""",
+
+    // the q106 chain rolled up under the q19 language CASE
+    "q107_bpe_fertility" ->
+      s"""WITH lang AS ($langIdSql),
+          d AS (SELECT doc_id, coalesce($WORDS, CAST([] AS VARCHAR[])) AS w
+                FROM documents),
+          enc AS (SELECT doc_id, len(w)::BIGINT AS n_words,
+                    coalesce(list_aggregate(list_transform(w, x ->
+                      length(${bpeEncSql("x")}) - length(replace(${bpeEncSql("x")}, '|', '')) - 1),
+                      'sum'), 0)::BIGINT AS n_bpe_tokens
+                  FROM d)
+          SELECT l.lang_pred, count(*)::BIGINT AS n_docs,
+                 sum(e.n_words)::BIGINT AS n_words,
+                 sum(e.n_bpe_tokens)::BIGINT AS n_bpe_tokens
+          FROM lang l JOIN enc e USING (doc_id)
+          GROUP BY l.lang_pred"""
   )
+
+  /** the q106/q107 encode expression over a word column `x`: codepoint
+    * split, pipe-delimited render, then two `replace` passes per merge in
+    * rank order (fixpoint = greedy, given lhs != rhs — see
+    * [[graft.ops.TextAnalysis.bpeEncode]])
+    */
+  private def bpeEncSql(x: String): String = {
+    val rendered =
+      s"'|' || array_to_string(list_transform(generate_series(1, length($x)), i -> $x[i]), '|') || '|'"
+    bpeMerges.foldLeft(rendered) { case (s, (a, b)) =>
+      val pat = s"'|$a|$b|'"
+      val rep = s"'|$a$b|'"
+      s"replace(replace($s, $pat, $rep), $pat, $rep)"
+    }
+  }
 
   /** lang-id oracle: argmax over the same stopword gazetteers, declaration-
     * order tie-break.

@@ -858,4 +858,113 @@ object TextAnalysis {
             .otherwise("rare"))
     } finally counts.unpersist()
   }
+
+  /** BPE tokenizer APPLICATION — the encode half of [[bpeTrain]]: apply an
+    * ordered merge list to every document and report the resulting token
+    * counts. Each [[words]] token starts as its codepoint sequence; merges
+    * apply in rank order, each as ONE greedy left-to-right non-overlapping
+    * pass (the Sennrich apply convention, matching [[bpeTrain]]'s replace
+    * step). Output per doc: `n_words` (whitespace tokens), `n_sym_chars`
+    * (total codepoints across words — the symbol count before any merge),
+    * `n_bpe_tokens` (total symbols after all merges). All integers so the
+    * cross-engine compare is hash-exact; the fertility ratio
+    * `n_bpe_tokens / n_words` is left to the caller. NULL-text docs emit
+    * the all-zero row (the [[ngramRepetition]] convention).
+    *
+    * Oracle note: for merges with `lhs != rhs`, occurrences of the pair in
+    * a symbol string are pairwise disjoint, so greedy application is
+    * confluent and equals the fixpoint of string `replace` over a
+    * delimiter-guarded rendering — which is how the ANSI oracle replays
+    * this kernel (two replace passes reach the fixpoint: pass one can only
+    * miss an occurrence that immediately follows a replaced one, and all
+    * such misses are isolated afterwards). `lhs == rhs` merges are legal
+    * here but not oracle-replayable that way.
+    *
+    * Scale shape: ONE typed map, zero shuffle — per-doc cost is
+    * O(|merges| x doc length) with no state beyond the current word's
+    * symbol buffer. The merge list is a tiny broadcast-by-closure literal
+    * (real vocabularies are ~10-100k merges: still driver-trivial).
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(merges.nonEmpty, "need at least one merge")
+    require(merges.forall { case (a, b) => a.nonEmpty && b.nonEmpty },
+      "merge sides must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergeArr = merges.toArray
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val ws =
+          if (text == null) Array.empty[String]
+          else text.split(WhitespaceRe).filter(_.nonEmpty)
+        var symChars = 0L
+        var bpeTokens = 0L
+        var w = 0
+        while (w < ws.length) {
+          var syms = toCodepoints(ws(w))
+          symChars += syms.length
+          var m = 0
+          while (m < mergeArr.length) {
+            val (a, b) = mergeArr(m)
+            if (syms.length >= 2) {
+              val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+              var i = 0
+              while (i < syms.length) {
+                if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                  out += a + b; i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              syms = out.toArray
+            }
+            m += 1
+          }
+          bpeTokens += syms.length
+          w += 1
+        }
+        (id, ws.length.toLong, symChars, bpeTokens)
+      }
+      .toDF(idCol, "n_words", "n_sym_chars", "n_bpe_tokens")
+  }
+
+  /** per-codepoint split (NOT UTF-16 units), matching the oracle's
+    * character indexing on supplementary-plane input
+    */
+  private def toCodepoints(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  /** Tokenizer fertility by language — the standard multilingual-tokenizer
+    * health table (BPE tokens per whitespace word, per predicted
+    * language): composes [[langId]] with [[bpeEncode]] and rolls up. A
+    * high-fertility language is being over-fragmented by the merge list —
+    * the signal that drives vocabulary rebalancing. Integer sums only
+    * (`n_bpe_tokens / n_words` is the fertility); docs with zero words
+    * still count in `n_docs` under their (necessarily 'und') language.
+    *
+    * Scale shape: the encode kernel is map-only; langId is pure column
+    * expressions on the scan; the two meet in ONE equi-join on the unique
+    * doc id (no skew possible) followed by ONE groupBy(lang) with
+    * map-side partials — the shuffle after the join carries one row per
+    * language per task.
+    */
+  def bpeFertility(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val enc = bpeEncode(docs, merges, textCol, idCol)
+    val langs = langId(docs, textCol)
+      .select(col(idCol).cast("long").as(idCol), col("lang_pred"))
+    langs.join(enc, Seq(idCol))
+      .groupBy("lang_pred")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"))
+  }
 }

@@ -1860,6 +1860,92 @@ class OpsSpec extends AnyFunSuite {
     assert(merged == direct)
   }
 
+  test("bpeEncode: merge chaining, counts, NULL/empty docs, zero shuffle") {
+    import spark.implicits._
+    val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"))
+    val docs = Seq(
+      (1L, "the then in an"), // the->1, the|n->2, in->1, an->1
+      (2L, null.asInstanceOf[String]),
+      (3L, "   "),
+      (4L, "xyz")) // no merges apply: 3 symbols
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs, merges)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 4L, 11L, 5L),
+      (2L, 0L, 0L, 0L),
+      (3L, 0L, 0L, 0L),
+      (4L, 1L, 3L, 3L)))
+    val plan = TextAnalysis.bpeEncode(docs, merges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in bpeEncode plan:\n$plan")
+  }
+
+  test("bpeEncode: lhs == rhs merges are greedy left-to-right non-overlapping") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaaa aaaa")).toDF("doc_id", "text")
+    // aaaaa -> aa aa a (3); aaaa -> aa aa (2)
+    val out = TextAnalysis.bpeEncode(docs, Seq(("a", "a")))
+      .as[(Long, Long, Long, Long)].head()
+    assert(out == ((1L, 2L, 9L, 5L)))
+  }
+
+  test("bpeEncode: greedy equals the oracle's double-replace fixpoint for lhs != rhs") {
+    import spark.implicits._
+    // the exact construction the q106 oracle uses, run in-process over
+    // adversarial words (adjacent pattern chains that pass one of replace
+    // misses), including merge interaction through earlier outputs
+    val merges = Seq(("a", "b"), ("ab", "c"), ("e", "r"))
+    def replayOracle(word: String): Int = {
+      var s = "|" + word.map(_.toString).mkString("|") + "|"
+      merges.foreach { case (l, r) =>
+        val pat = s"|$l|$r|"; val rep = s"|$l$r|"
+        s = s.replace(pat, rep).replace(pat, rep)
+      }
+      s.count(_ == '|') - 1
+    }
+    val rnd = new scala.util.Random(20260820)
+    val alphabet = "abcer"
+    val words = (0 until 400).map(_ =>
+      (1 to (1 + rnd.nextInt(12))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString) ++
+      Seq("ababab", "abababab", "abcabc", "aabbcc", "ababcer", "abcababc")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs, merges)
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(got(i.toLong) == replayOracle(w).toLong,
+        s"greedy vs replace-fixpoint diverged on '$w'")
+    }
+  }
+
+  test("bpeEncode: composes with bpeTrain's merge table") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low low lower lower newest")).toDF("doc_id", "text")
+    val trained = TextAnalysis.bpeTrain(docs, nMerges = 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
+    val out = TextAnalysis.bpeEncode(docs, trained)
+      .select("n_bpe_tokens").as[Long].head()
+    // merges learned: (l,o)x5 then (lo,w)x5 -> low=1 sym, lower=3, newest=6
+    assert(trained == Seq(("l", "o"), ("lo", "w")))
+    assert(out == (1 + 1 + 1 + 3 + 3 + 6).toLong)
+  }
+
+  test("bpeFertility: per-language rollup with und docs counted") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat of the house is that it for a"), // en: 10 words
+      (2L, "zz yy"), // und
+      (3L, null.asInstanceOf[String])) // und, zero words
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeFertility(docs, Seq(("t", "h"), ("th", "e")))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc1: the->1, cat->3, of->2, the->1, house->5, is->2, that->3 (th,a,t), it->2, for->3, a->1 = 23
+    assert(out == Seq(
+      ("en", 1L, 10L, 23L),
+      ("und", 2L, 2L, 4L)))
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
