@@ -1071,7 +1071,42 @@ object SparkEntry {
     "q107_bpe_fertility" -> ((s, dir) =>
       TextAnalysis.bpeFertility(
         s.read.parquet(s"$dir/documents.parquet"), bpeMerges)
-        .select("lang_pred", "n_docs", "n_words", "n_bpe_tokens"))
+        .select("lang_pred", "n_docs", "n_words", "n_bpe_tokens")),
+
+    // DSIR-style importance weights: target model = the English subset;
+    // vocabSize 16 keeps the oracle's model subqueries tractable;
+    // minC100 = 50 (mean per-token logw >= 0.5) exercises the sign-safe
+    // multiplicative threshold
+    "q108_dsir_weights" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        vocabSize = 16, minC100 = 50L)
+        .select(col("doc_id"), col("n_tokens"), col("logw_sum"),
+          col("selected").cast("int").as("selected"))
+    }),
+
+    // count-min sketch (w=64, d=4) probed at the exact top-10 terms;
+    // est_cnt >= true_cnt by construction (collisions only ever add)
+    "q109_cms_estimate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val exact = docs
+        .select(explode(TextAnalysis.words(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("tok")).limit(10)
+      Sketch.cmsEstimate(Sketch.cmsBuild(docs, 64, 4), exact, 64, 4)
+        .join(exact, Seq("tok"))
+        .select("tok", "true_cnt", "est_cnt")
+    }),
+
+    // mergeable log-histogram percentiles over document length: each read
+    // reports the [lo, hi] value range of the answering bucket
+    "q110_hist_quantiles" -> ((s, dir) =>
+      Sketch.histQuantiles(
+        Sketch.logHistogram(
+          s.read.parquet(s"$dir/documents.parquet"), col("n_chars")),
+        Seq(50, 90, 99))
+        .select(col("p").cast("long").as("p"), col("rank"), col("bucket"),
+          col("lo_est"), col("hi_est")))
   )
 
   /** q106/q107's fixed merge list. Every pair has lhs != rhs (the
@@ -2725,7 +2760,78 @@ object SparkEntry {
                  sum(e.n_words)::BIGINT AS n_words,
                  sum(e.n_bpe_tokens)::BIGINT AS n_bpe_tokens
           FROM lang l JOIN enc e USING (doc_id)
-          GROUP BY l.lang_pred"""
+          GROUP BY l.lang_pred""",
+
+    // two unigram models in the same quantized log-space as q77 (source =
+    // all docs, target = lang 'en'), per-side OOV fallback, score =
+    // sum(s_src - s_tgt); selection spelled multiplicatively (sign-exact
+    // in both engines)
+    "q108_dsir_weights" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($WORDS) AS tok FROM documents),
+          sc AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY tok),
+          st AS (SELECT len(bin(sum(cnt)::BIGINT)) - 1 AS maxs FROM sc),
+          sv AS (SELECT tok, (SELECT maxs FROM st) - (len(bin(cnt)) - 1) AS s
+                 FROM sc ORDER BY cnt DESC, tok LIMIT 16),
+          tt AS (SELECT unnest($WORDS) AS tok FROM documents WHERE lang = 'en'),
+          tc AS (SELECT tok, count(*)::BIGINT AS cnt FROM tt GROUP BY tok),
+          tto AS (SELECT len(bin(sum(cnt)::BIGINT)) - 1 AS maxs FROM tc),
+          tv AS (SELECT tok, (SELECT maxs FROM tto) - (len(bin(cnt)) - 1) AS s
+                 FROM tc ORDER BY cnt DESC, tok LIMIT 16),
+          per AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                    sum(coalesce(v1.s, (SELECT maxs FROM st))
+                      - coalesce(v2.s, (SELECT maxs FROM tto)))::BIGINT AS logw_sum
+                  FROM toks t LEFT JOIN sv v1 USING (tok) LEFT JOIN tv v2 USING (tok)
+                  GROUP BY t.doc_id)
+          SELECT d.doc_id,
+                 coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+                 coalesce(p.logw_sum, 0)::BIGINT AS logw_sum,
+                 (CASE WHEN coalesce(p.n_tokens, 0) > 0
+                        AND coalesce(p.logw_sum, 0) * 100 >= 50 * coalesce(p.n_tokens, 0)
+                       THEN 1 ELSE 0 END)::INT AS selected
+          FROM documents d LEFT JOIN per p USING (doc_id)""",
+
+    // the identical cell hash (md5-prefix of 'seed:tok' mod width), depth 4
+    // rows, min-over-rows read at the exact top-10 terms
+    "q109_cms_estimate" ->
+      s"""WITH toks AS (SELECT unnest($WORDS) AS tok FROM documents),
+          exact AS (SELECT tok, count(*)::BIGINT AS true_cnt FROM toks
+                    GROUP BY tok ORDER BY true_cnt DESC, tok LIMIT 10),
+          seeds AS (SELECT unnest(generate_series(0, 3)) AS seed),
+          cells AS (SELECT seed,
+                      ('0x' || substr(md5(seed::VARCHAR || ':' || tok), 1, 8))::BIGINT % 64 AS bucket,
+                      count(*)::BIGINT AS cnt
+                    FROM toks CROSS JOIN seeds GROUP BY seed, bucket),
+          probe AS (SELECT e.tok, e.true_cnt, s.seed,
+                      ('0x' || substr(md5(s.seed::VARCHAR || ':' || e.tok), 1, 8))::BIGINT % 64 AS bucket
+                    FROM exact e CROSS JOIN seeds s)
+          SELECT p.tok, p.true_cnt,
+                 min(coalesce(c.cnt, 0))::BIGINT AS est_cnt
+          FROM probe p LEFT JOIN cells c ON p.seed = c.seed AND p.bucket = c.bucket
+          GROUP BY p.tok, p.true_cnt""",
+
+    // the identical bit-length binning (4 sub-buckets per octave), running
+    // count over the bounded bucket table, rank = ceil(p*N/100) in integer
+    // arithmetic, answering bucket's [lo, hi] shifted back to v-space
+    "q110_hist_quantiles" ->
+      """WITH hb AS (SELECT CASE WHEN len(bin(n_chars + 1)) - 1 < 2 THEN n_chars + 1
+                                 ELSE (len(bin(n_chars + 1)) - 1) * 4
+                                      + (((n_chars + 1) >> (len(bin(n_chars + 1)) - 3)) & 3)
+                            END AS bucket FROM documents),
+          hist AS (SELECT bucket, count(*)::BIGINT AS cnt FROM hb GROUP BY bucket),
+          cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM hist),
+          tot AS (SELECT sum(cnt)::BIGINT AS n FROM hist),
+          ranks AS (SELECT p::BIGINT AS p,
+                      ((p * (SELECT n FROM tot) + 99) // 100)::BIGINT AS rank
+                    FROM (SELECT unnest([50, 90, 99]) AS p)),
+          ans AS (SELECT r.p, r.rank, min(c.bucket)::BIGINT AS bucket
+                  FROM ranks r LEFT JOIN cum c ON c.cum >= r.rank
+                  GROUP BY r.p, r.rank)
+          SELECT p, rank, bucket,
+            (CASE WHEN bucket < 8 THEN bucket
+                  ELSE (bucket % 4 + 4) << (bucket // 4 - 2) END - 1)::BIGINT AS lo_est,
+            (CASE WHEN bucket < 8 THEN bucket
+                  ELSE ((bucket % 4 + 5) << (bucket // 4 - 2)) - 1 END - 1)::BIGINT AS hi_est
+          FROM ans"""
   )
 
   /** the q106/q107 encode expression over a word column `x`: codepoint

@@ -178,4 +178,147 @@ object Sketch {
       (un.length.toLong, if (un.length < k) -1L else un.last, estU, rho, estI)
     }.toDF("n_union_kept", "union_kth_hash", "est_union", "rho", "est_intersection")
   }
+
+  // --------------------------------------------------------------- count-min
+
+  /** Count-min sketch over a token stream (Cormode & Muthukrishnan 2005):
+    * `depth` independent hash rows of `width` counters each; the
+    * frequency estimate for a term is the MIN over rows of its counter —
+    * an overestimate by construction (collisions only ever ADD), with
+    * error bounded by collisions' share of the total mass. The sketch is
+    * the table `(seed, bucket, cnt)` with at most depth x width rows.
+    *
+    * Determinism: bucket = hash32(seed ':' tok) mod width — the same
+    * md5-prefix hash every sampling/KMV operator keys on, so a
+    * cross-engine oracle replays the sketch exactly. Mergeability:
+    * sketches of disjoint corpus slices sum cell-wise (counters are pure
+    * sums) — the property that makes this the scale answer to term
+    * accounting, where exact per-term counts are a corpus-wide shuffle
+    * of every distinct term and this is ONE aggregation bounded at
+    * depth x width output rows.
+    *
+    * Scale shape: one scan, tokens exploded and replicated `depth` ways
+    * (a broadcast-nested-loop against a depth-row literal — no shuffle),
+    * then ONE groupBy(seed, bucket) whose map-side partials bound every
+    * task's buffer at depth x width cells BY CONSTRUCTION.
+    */
+  def cmsBuild(docs: DataFrame, width: Int = 64, depth: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    require(width > 0 && depth > 0, "width and depth must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val seeds = broadcast((0 until depth).toDF("seed"))
+    docs.select(explode(TextAnalysis.words(col(textCol))).as("tok"))
+      .crossJoin(seeds)
+      .select(col("seed"), cmsBucket(col("seed"), col("tok"), width).as("bucket"))
+      .groupBy("seed", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** the ONE spelling of the count-min cell hash, shared with
+    * [[cmsEstimate]] (and mirrored by the q109 oracle): md5-prefix hash
+    * of "seed:token", mod width
+    */
+  private def cmsBucket(seed: Column, tok: Column, width: Int): Column =
+    pmod(Sampling.hash32(concat(seed.cast("string"), lit(":"), tok)), lit(width.toLong))
+
+  /** Point-estimate term frequencies from a count-min sketch: for each
+    * probe term, look up its cell in every row and take the MIN; a cell
+    * with no sketch entry is an exact zero. `est_cnt >= true count`
+    * always (pinned by a property test).
+    *
+    * Scale shape: the sketch is at most depth x width rows — broadcast;
+    * probes replicate `depth` ways, ONE broadcast left join, ONE
+    * groupBy(term) of a min — no corpus access at all. This is the
+    * read path that makes the sketch useful: term-frequency dashboards
+    * over 100 TB answered from kilobytes.
+    */
+  def cmsEstimate(sketch: DataFrame, terms: DataFrame, width: Int = 64,
+      depth: Int = 4, termCol: String = "tok"): DataFrame = {
+    require(width > 0 && depth > 0, "width and depth must be positive")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val seeds = broadcast((0 until depth).toDF("seed"))
+    terms.select(col(termCol).as("tok")).crossJoin(seeds)
+      .withColumn("bucket", cmsBucket(col("seed"), col("tok"), width))
+      .join(broadcast(sketch), Seq("seed", "bucket"), "left")
+      .groupBy("tok")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+
+  // ------------------------------------------------------- log-histogram
+
+  /** Sub-bucketed log2 histogram bucket of a non-negative value — the
+    * mergeable quantile sketch's binning rule. v maps through v+1 (so 0
+    * is representable); l = floorLog2(v+1); values with l < 2 are exact
+    * (buckets 1..3); otherwise bucket = l*4 + (the 2 bits below the
+    * leading bit), giving 4 sub-buckets per octave and <= 25% relative
+    * width per bucket. All bit-length/shift/mask arithmetic — a
+    * cross-engine oracle replays it via `len(bin(x)) - 1` and `>>`/`&`.
+    */
+  private[ops] def logBucket(v: Column): Column = {
+    val x = v + lit(1L)
+    val l = (length(bin(x)) - 1).cast("long")
+    // call_function: the Scala shiftright/shiftleft wrappers only take a
+    // literal Int shift; the SQL functions take a column
+    when(l < 2, x).otherwise(
+      l * 4 + call_function("shiftright", x, (l - 2).cast("int"))
+        .bitwiseAND(lit(3L)))
+  }
+
+  /** inclusive [lo, hi] value range (in v-space) covered by a
+    * [[logBucket]] id — the deterministic "estimate" a quantile read
+    * reports
+    */
+  private[ops] def bucketBounds(b: Column): (Column, Column) = {
+    val l = (b / 4).cast("long") // b >= 0: double-div + truncate == floor
+    val sub = pmod(b, lit(4L))
+    val sh = (l - 2).cast("int")
+    val lo = when(b < 8, b).otherwise(call_function("shiftleft", sub + 4, sh))
+    val hi = when(b < 8, b).otherwise(call_function("shiftleft", sub + 5, sh) - 1)
+    (lo - 1, hi - 1)
+  }
+
+  /** Mergeable log-bucket histogram over a non-negative integer column:
+    * `(bucket, cnt)` rows, at most 4 per octave of the value range (a
+    * 64-bit domain fits in ~250 rows). Histograms of corpus slices merge
+    * by summing counts per bucket — the property exact percentiles lack
+    * (q72's exact path is a corpus-wide sort; this is ONE
+    * map-side-combined aggregation whose output is bounded by the value
+    * DOMAIN, not the corpus).
+    */
+  def logHistogram(df: DataFrame, valueCol: Column): DataFrame =
+    df.select(logBucket(valueCol.cast("long")).as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Percentile reads from a [[logHistogram]]: for each integer
+    * percentile p, rank = ceil(p * N / 100) (integer arithmetic — all
+    * operands non-negative, so both engines' divisions agree), the
+    * answering bucket is the first whose running count reaches the rank,
+    * and the report is that bucket's [lo_est, hi_est] value range
+    * (true percentile guaranteed inside; width <= 25% of magnitude).
+    *
+    * Scale shape: the histogram is domain-bounded (~250 rows max), so
+    * the single-partition running-count window is a non-issue — the
+    * corpus was reduced in the ONE aggregation that built the histogram.
+    */
+  def histQuantiles(hist: DataFrame, ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in [1, 100]")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // bounded table (see scaladoc): single-partition window is safe
+    val cum = hist.withColumn("cum",
+      sum("cnt").over(Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = broadcast(hist.agg(sum("cnt").as("n")))
+    val ranks = broadcast(ps.distinct.sorted.toDF("p")).crossJoin(total)
+      .select(col("p"), expr("(p * n + 99) div 100").as("rank"))
+    val (lo, hi) = (bucketBounds(col("bucket"))._1, bucketBounds(col("bucket"))._2)
+    ranks.join(cum, col("cum") >= col("rank"), "left")
+      .groupBy("p", "rank").agg(min("bucket").as("bucket"))
+      .join(cum.select(col("bucket"), lo.as("lo_est"), hi.as("hi_est")), Seq("bucket"), "left")
+      .select("p", "rank", "bucket", "lo_est", "hi_est")
+  }
 }

@@ -967,4 +967,93 @@ object TextAnalysis {
         sum("n_words").as("n_words"),
         sum("n_bpe_tokens").as("n_bpe_tokens"))
   }
+
+  /** Quantized unigram model for [[dsirWeights]]: the top-`vocabSize`
+    * tokens (count desc, token asc — a total order) mapped to surprisal
+    * S(w) = floorLog2(totalTokens) - floorLog2(count(w)), plus the
+    * out-of-vocabulary default floorLog2(totalTokens). Identical
+    * construction to [[unigramSurprisal]]'s model, factored so two
+    * corpora can be modeled without forking the rule.
+    */
+  private def unigramModel(docs: DataFrame, vocabSize: Int,
+      textCol: String): (Map[String, Long], Long) = {
+    val counts = docs.select(explode(words(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .persist()
+    try {
+      val total = counts.agg(sum("cnt")).first() match {
+        case r if r.isNullAt(0) =>
+          throw new IllegalArgumentException("unigramModel: empty corpus")
+        case r => r.getLong(0)
+      }
+      val maxS = floorLog2(total).toLong
+      val vocab = counts.orderBy(col("cnt").desc, col("tok"))
+        .limit(vocabSize).collect()
+        .map(r => r.getString(0) -> (maxS - floorLog2(r.getLong(1))))
+        .toMap
+      (vocab, maxS)
+    } finally counts.unpersist()
+  }
+
+  /** DSIR-style importance weighting for data selection (the
+    * hashed-n-gram importance-resampling recipe of Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * restricted to unigrams): score every SOURCE document by how much
+    * more likely its tokens are under a TARGET corpus' unigram model
+    * than under the source's own,
+    *
+    *   logw(d) = sum_tok ( S_source(tok) - S_target(tok) ),
+    *
+    * in the same quantized integer log-space as [[unigramSurprisal]]
+    * (floorLog2 bit-length arithmetic, no IEEE log anywhere) so the
+    * score replays bit-exactly in a cross-engine oracle. Positive logw =
+    * the document "looks more like the target" (cheaper to encode under
+    * the target model than under its own corpus model).
+    *
+    * Selection avoids both floats and a corpus-wide sort: `selected` is
+    * the multiplicative threshold `logw_sum * 100 >= minC100 * n_tokens`
+    * (mean per-token logw >= minC100/100). Spelled as a product, not an
+    * integer division, because logw_sum can be NEGATIVE and the two
+    * engines' integer divisions disagree on negatives (Spark `div`
+    * truncates toward zero, DuckDB `//` floors) — multiplication is
+    * sign-exact in both. Empty documents are never selected.
+    *
+    * Scale shape: two bounded vocabulary models (TakeOrdered(vocabSize)
+    * driver collects — the [[unigramSurprisal]]/ivfAnn bounded-model
+    * pattern), merged into ONE broadcast tok -> (s_src, s_tgt) table;
+    * scoring is one explode + one broadcast join + one
+    * map-side-combined groupBy(doc_id). The source corpus is scanned
+    * twice (model pass, score pass), the target once, and nothing is
+    * globally sorted. Reference analog: the checker's quality routing
+    * (adsft/checker.py decides WHAT to process; this decides what to
+    * TRAIN on).
+    */
+  def dsirWeights(source: DataFrame, target: DataFrame,
+      vocabSize: Int = 4096, minC100: Long = 0L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val spark = source.sparkSession
+    import spark.implicits._
+    val (srcVocab, srcMax) = unigramModel(source, vocabSize, textCol)
+    val (tgtVocab, tgtMax) = unigramModel(target, vocabSize, textCol)
+    // one broadcast table over the union of both vocabularies; misses on
+    // either side fall back to that side's OOV surprisal at join time
+    val model = broadcast(
+      (srcVocab.keySet ++ tgtVocab.keySet).toSeq.sorted
+        .map(t => (t, srcVocab.getOrElse(t, srcMax), tgtVocab.getOrElse(t, tgtMax)))
+        .toDF("tok", "s_src", "s_tgt"))
+    val scored = source
+      .select(col(idCol), explode(words(col(textCol))).as("tok"))
+      .join(model, Seq("tok"), "left")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("s_src"), lit(srcMax)) -
+          coalesce(col("s_tgt"), lit(tgtMax))).as("logw_sum"))
+    source.join(scored, Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("logw_sum", coalesce(col("logw_sum"), lit(0L)))
+      .withColumn("selected",
+        col("n_tokens") > 0 &&
+          col("logw_sum") * 100 >= lit(minC100) * col("n_tokens"))
+  }
 }

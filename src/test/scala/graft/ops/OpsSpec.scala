@@ -1031,6 +1031,26 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Array((1L, 1L), (2L, 0L)))
   }
 
+  test("dsirWeights: quantized scores, per-side OOV fallback, sign-exact threshold") {
+    import spark.implicits._
+    // source: 20 junk docs (each junk token cnt 2) + 'alpha beta' + one
+    // empty. total source tokens = 42 -> srcMax = floorLog2(42) = 5; source
+    // vocab(4) by (cnt desc, tok asc) = junk0, junk1, junk10, junk11 at
+    // s = 5 - floorLog2(2) = 4; alpha/beta (and junk5) are source-OOV at 5.
+    val junk = (0 until 20).map(i => (100L + i, s"junk$i junk$i"))
+    val source = (junk :+ (1L, "alpha beta") :+ (2L, "")).toDF("doc_id", "text")
+    // target: alpha=10, beta=10, total 20 -> tgtMax = 4; s(alpha)=s(beta)=4-3=1
+    val target = (0 until 10).map(i => (200L + i, "alpha beta")).toDF("doc_id", "text")
+    val out = TextAnalysis.dsirWeights(source, target, vocabSize = 4, minC100 = 100L)
+      .select("doc_id", "n_tokens", "logw_sum", "selected")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 8L, true)))    // 2 x (5 - 1); mean 4.0 >= 1.0
+    assert(out(2L) == ((0L, 0L, false)))   // empty docs never selected
+    assert(out(100L) == ((2L, 0L, false))) // junk0 in src vocab: 2 x (4 - 4)
+    assert(out(105L) == ((2L, 2L, true)))  // junk5 src-OOV: 2 x (5 - 4); >= is inclusive
+  }
+
   test("materializeBlocks: block text re-assembled across doc boundaries in stream order") {
     import spark.implicits._
     val docs = Seq(

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import graft.spark.SparkTestSession
 
 /** KMV sketch: estimator exactness under k, determinism of the saturated
@@ -75,5 +75,65 @@ class SketchSpec extends AnyFunSuite {
     // sanity: true union 4500, true intersection 1500 — estimates within 2x
     assert(estU > 2250 && estU < 9000)
     assert(estI > 500 && estI < 4000)
+  }
+
+  test("count-min: estimate >= true count always; each row preserves total mass") {
+    val docs = Seq((1L, "a a b c d"), (2L, "a b e f"), (3L, "g h a b"))
+      .toDF("doc_id", "text")
+    // width 4 forces collisions — the overestimate property must still hold
+    val sketch = Sketch.cmsBuild(docs, width = 4, depth = 3)
+    val rowMass = sketch.groupBy("seed").agg(sum("cnt").as("m"))
+      .as[(Int, Long)].collect()
+    assert(rowMass.length == 3 && rowMass.forall(_._2 == 13L))
+    val exact = docs.select(explode(TextAnalysis.words(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+    val joined = Sketch.cmsEstimate(sketch, exact.select("tok"), width = 4, depth = 3)
+      .join(exact, "tok").as[(String, Long, Long)].collect()
+    assert(joined.length == 8)
+    joined.foreach { case (tok, est, t) =>
+      assert(est >= t, s"tok=$tok est=$est true=$t")
+    }
+  }
+
+  test("count-min: slice sketches merge cell-wise to the full-corpus sketch") {
+    val docs = (0 until 40).map(i => (i.toLong, s"t${i % 7} t${i % 11} common"))
+      .toDF("doc_id", "text")
+    val full = Sketch.cmsBuild(docs, width = 8, depth = 2)
+      .as[(Int, Long, Long)].collect().toSet
+    val merged = Sketch.cmsBuild(docs.filter(col("doc_id") % 2 === 0), 8, 2)
+      .unionAll(Sketch.cmsBuild(docs.filter(col("doc_id") % 2 === 1), 8, 2))
+      .groupBy("seed", "bucket").agg(sum("cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == full)
+  }
+
+  test("logBucket/bucketBounds: containment, monotonicity, <=25% relative width") {
+    val (lo, hi) = Sketch.bucketBounds(col("b"))
+    val rows = (0L until 4096L).toDF("v")
+      .withColumn("b", Sketch.logBucket(col("v")))
+      .select(col("v"), col("b"), lo.as("lo"), hi.as("hi"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    rows.foreach { case (v, b, l, h) =>
+      assert(l <= v && v <= h, s"v=$v b=$b [$l,$h]")
+      // exact buckets below 8; otherwise width (in x-space) <= lo_x / 4
+      if (b < 8) assert(l == h) else assert(4 * (h - l + 1) <= l + 1)
+    }
+    assert(rows.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("histQuantiles: the true percentile value is inside every reported range") {
+    val vals = (0 until 1000).map(i => (i.toLong * i * 31L) % 7919L)
+    val ps = Seq(1, 25, 50, 75, 90, 99, 100)
+    val out = Sketch.histQuantiles(
+      Sketch.logHistogram(vals.toDF("v"), col("v")), ps)
+      .select("p", "rank", "lo_est", "hi_est")
+      .as[(Int, Long, Long, Long)].collect()
+    val sorted = vals.sorted
+    assert(out.length == ps.length)
+    out.foreach { case (p, rank, lo, hi) =>
+      assert(rank == (p.toLong * 1000 + 99) / 100)
+      val truth = sorted((rank - 1).toInt)
+      assert(lo <= truth && truth <= hi, s"p=$p truth=$truth [$lo,$hi]")
+    }
   }
 }
