@@ -1106,7 +1106,14 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"), col("n_chars")),
         Seq(50, 90, 99))
         .select(col("p").cast("long").as("p"), col("rank"), col("bucket"),
-          col("lo_est"), col("hi_est")))
+          col("lo_est"), col("hi_est"))),
+
+    // exact-dup planted pairs surface at hamming 0; maxHamming 3 is the
+    // 4-band guarantee bound
+    "q111_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDup(
+        s.read.parquet(s"$dir/documents.parquet"), maxHamming = 3, maxBucket = 64)
+        .select("doc_a", "doc_b", "hamming", "truncated"))
   )
 
   /** q106/q107's fixed merge list. Every pair has lhs != rhs (the
@@ -2831,7 +2838,34 @@ object SparkEntry {
                   ELSE (bucket % 4 + 4) << (bucket // 4 - 2) END - 1)::BIGINT AS lo_est,
             (CASE WHEN bucket < 8 THEN bucket
                   ELSE ((bucket % 4 + 5) << (bucket // 4 - 2)) - 1 END - 1)::BIGINT AS hi_est
-          FROM ans"""
+          FROM ans""",
+
+    // the identical 60-bit simhash (q17's oracle), four 15-bit bands,
+    // the same smallest-64-ids-per-bucket cap with an exact truncated
+    // flag, hamming verified via bit_count(xor)
+    "q111_simhash_neardup" ->
+      s"""WITH sims AS ($simhashSql),
+          bands AS (SELECT doc_id,
+                      b * (1::BIGINT << 60) + ((simhash >> (15 * b)) & 32767) AS bucket
+                    FROM sims, (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+          r AS (SELECT doc_id, bucket,
+                  row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+                FROM bands),
+          tr AS (SELECT bucket, (CASE WHEN max(rn) > 64 THEN 1 ELSE 0 END)::INT AS tflag
+                 FROM r GROUP BY bucket),
+          capped AS (SELECT doc_id, bucket FROM r WHERE rn <= 64),
+          cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     max(t.tflag)::INT AS truncated
+                   FROM capped a JOIN capped b USING (bucket)
+                   JOIN tr t USING (bucket)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+          SELECT c.doc_a, c.doc_b,
+                 bit_count(xor(sa.simhash, sb.simhash))::INT AS hamming,
+                 c.truncated
+          FROM cand c
+          JOIN sims sa ON sa.doc_id = c.doc_a
+          JOIN sims sb ON sb.doc_id = c.doc_b
+          WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3"""
   )
 
   /** the q106/q107 encode expression over a word column `x`: codepoint

@@ -979,4 +979,49 @@ object Dedup {
       .groupBy("vec_id").agg(min("store_id").as("dup_of"),
         max("_trunc").as("truncated"))
   }
+
+  /** SimHash near-duplicate pairs: band the 60-bit [[simhash]] into four
+    * 15-bit keys; any pair within `maxHamming <= 3` bit flips agrees on
+    * at least one band EXACTLY (pigeonhole: 3 flips cannot touch all 4
+    * bands), so band-equality candidates give guaranteed recall, then an
+    * exact `bit_count(xor)` verify keeps only true near-duplicates.
+    * Docs with no words are excluded (an all-empty cohort would
+    * otherwise collide into one degenerate hamming-0 clique).
+    *
+    * Scale shape: signatures are pure column expressions (one scan, no
+    * shuffle); candidates flow through [[boundedBuckets]] so a degenerate
+    * hot band (millions of identical docs) truncates gracefully with the
+    * overflow flagged instead of OOMing an executor; the verify joins are
+    * doc_id-keyed equi-joins against the bounded pair set.
+    */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band LSH guarantees recall only for maxHamming <= 3")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sims = simhash(
+        docs.filter(coalesce(size(TextAnalysis.words(col("text"))), lit(0)) > 0))
+      .select(col("doc_id").cast("long").as("doc_id"), col("simhash"))
+    val bands = broadcast((0 until 4).toDF("b"))
+    val assign = sims.crossJoin(bands)
+      .select(col("doc_id"),
+        (col("b").cast("long") * lit(1L << 60) +
+          call_function("shiftright", col("simhash"), (col("b") * 15).cast("int"))
+            .bitwiseAND(lit(32767L))).as("bucket"))
+    val cand = boundedBuckets(assign, "doc_id", maxBucket)
+      .select(col("ids"), col("truncated")).as[(Seq[Long], Int)]
+      .flatMap { case (ids, tr) =>
+        for (i <- ids.indices.iterator; j <- (i + 1) until ids.size)
+          yield (ids(i), ids(j), tr)
+      }.toDF("doc_a", "doc_b", "tr")
+      .groupBy("doc_a", "doc_b").agg(max("tr").as("truncated"))
+    cand
+      .join(sims.select(col("doc_id").as("doc_a"), col("simhash").as("_ha")), "doc_a")
+      .join(sims.select(col("doc_id").as("doc_b"), col("simhash").as("_hb")), "doc_b")
+      .withColumn("hamming",
+        call_function("bit_count", col("_ha").bitwiseXOR(col("_hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming", "truncated")
+  }
 }

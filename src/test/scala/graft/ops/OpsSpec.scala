@@ -1031,6 +1031,30 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Array((1L, 1L), (2L, 0L)))
   }
 
+  test("simhashNearDup: exact dups at hamming 0, near dups found, unrelated absent") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                              // exact dup of 1 -> hamming 0
+      (3L, base + " lambda"),                  // near dup: tiny word-set delta
+      (4L, "totally different content about ships and harbors and tides"),
+      (5L, "")                                 // no words: excluded entirely
+    ).toDF("doc_id", "text")
+    val out = Dedup.simhashNearDup(docs, maxHamming = 3)
+      .as[(Long, Long, Int, Int)].collect()
+    val pairs = out.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 2L)))
+    val h12 = out.find(r => r._1 == 1L && r._2 == 2L).get._3
+    assert(h12 == 0)
+    // every emitted pair respects the verify bound; ids ordered; no doc 5
+    out.foreach { case (a, b, h, _) =>
+      assert(a < b && h <= 3 && a != 5L && b != 5L)
+    }
+    // doc 4 shares no band with the near-dup family at hamming <= 3
+    assert(!out.exists(r => r._1 == 4L || r._2 == 4L))
+  }
+
   test("dsirWeights: quantized scores, per-side OOV fallback, sign-exact threshold") {
     import spark.implicits._
     // source: 20 junk docs (each junk token cnt 2) + 'alpha beta' + one
