@@ -988,11 +988,14 @@ object Dedup {
     * Docs with no words are excluded (an all-empty cohort would
     * otherwise collide into one degenerate hamming-0 clique).
     *
-    * Scale shape: signatures are pure column expressions (one scan, no
-    * shuffle); candidates flow through [[boundedBuckets]] so a degenerate
-    * hot band (millions of identical docs) truncates gracefully with the
-    * overflow flagged instead of OOMing an executor; the verify joins are
-    * doc_id-keyed equi-joins against the bounded pair set.
+    * Scale shape: signatures are pure column expressions (ONE scan, one
+    * simhash evaluation — the 16-byte (doc_id, simhash) struct rides the
+    * band shuffle, so verification needs NO join back to the corpus and
+    * never re-derives the signature); candidates flow through
+    * [[boundedBuckets]] so a degenerate hot band (millions of identical
+    * docs) truncates gracefully with the overflow flagged instead of
+    * OOMing an executor; the hamming verify runs inline over each capped
+    * bucket, and one final groupBy dedups pairs surfaced by several bands.
     */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 64): DataFrame = {
@@ -1004,24 +1007,24 @@ object Dedup {
         docs.filter(coalesce(size(TextAnalysis.words(col("text"))), lit(0)) > 0))
       .select(col("doc_id").cast("long").as("doc_id"), col("simhash"))
     val bands = broadcast((0 until 4).toDF("b"))
+    // struct ordering is field-lexicographic and doc_id is unique, so the
+    // bucket cap keeps the smallest doc_ids — exactly the oracle's rule
     val assign = sims.crossJoin(bands)
-      .select(col("doc_id"),
+      .select(struct(col("doc_id"), col("simhash")).as("node"),
         (col("b").cast("long") * lit(1L << 60) +
           call_function("shiftright", col("simhash"), (col("b") * 15).cast("int"))
             .bitwiseAND(lit(32767L))).as("bucket"))
-    val cand = boundedBuckets(assign, "doc_id", maxBucket)
-      .select(col("ids"), col("truncated")).as[(Seq[Long], Int)]
+    boundedBuckets(assign, "node", maxBucket)
+      .select(col("ids"), col("truncated")).as[(Seq[(Long, Long)], Int)]
       .flatMap { case (ids, tr) =>
-        for (i <- ids.indices.iterator; j <- (i + 1) until ids.size)
-          yield (ids(i), ids(j), tr)
-      }.toDF("doc_a", "doc_b", "tr")
-      .groupBy("doc_a", "doc_b").agg(max("tr").as("truncated"))
-    cand
-      .join(sims.select(col("doc_id").as("doc_a"), col("simhash").as("_ha")), "doc_a")
-      .join(sims.select(col("doc_id").as("doc_b"), col("simhash").as("_hb")), "doc_b")
-      .withColumn("hamming",
-        call_function("bit_count", col("_ha").bitwiseXOR(col("_hb"))))
-      .filter(col("hamming") <= maxHamming)
+        for {
+          i <- ids.indices.iterator
+          j <- (i + 1) until ids.size
+          h = java.lang.Long.bitCount(ids(i)._2 ^ ids(j)._2)
+          if h <= maxHamming
+        } yield (ids(i)._1, ids(j)._1, h, tr)
+      }.toDF("doc_a", "doc_b", "hamming", "tr")
+      .groupBy("doc_a", "doc_b", "hamming").agg(max("tr").as("truncated"))
       .select("doc_a", "doc_b", "hamming", "truncated")
   }
 }
