@@ -1089,10 +1089,13 @@ object SparkEntry {
     // est_cnt >= true_cnt by construction (collisions only ever add)
     "q109_cms_estimate" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // 10-row truth table localCheckpointed so its corpus-wide aggregation
+      // runs once, not once per consumer (probe set + final join)
       val exact = docs
         .select(explode(TextAnalysis.words(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("true_cnt"))
         .orderBy(col("true_cnt").desc, col("tok")).limit(10)
+        .localCheckpoint()
       Sketch.cmsEstimate(Sketch.cmsBuild(docs, 64, 4), exact, 64, 4)
         .join(exact, Seq("tok"))
         .select("tok", "true_cnt", "est_cnt")

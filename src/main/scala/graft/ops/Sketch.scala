@@ -298,27 +298,40 @@ object Sketch {
     * and the report is that bucket's [lo_est, hi_est] value range
     * (true percentile guaranteed inside; width <= 25% of magnitude).
     *
-    * Scale shape: the histogram is domain-bounded (~250 rows max), so
-    * the single-partition running-count window is a non-issue — the
-    * corpus was reduced in the ONE aggregation that built the histogram.
+    * Scale shape: the histogram is domain-bounded (~250 rows max for a
+    * 64-bit domain), so it is COLLECTED and the rank walk runs driver-side
+    * — the ivfAnn/unigramSurprisal bounded-model pattern. The corpus is
+    * touched exactly ONCE (the aggregation that built the histogram);
+    * the lazy-DataFrame alternative re-executed that aggregation per
+    * derived subtree (running count, total, bounds — three corpus scans).
+    * All arithmetic is the same integer bit-math as [[bucketBounds]], so
+    * a cross-engine oracle replays it exactly.
     */
   def histQuantiles(hist: DataFrame, ps: Seq[Int]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
       "percentiles must be in [1, 100]")
     val spark = hist.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    // bounded table (see scaladoc): single-partition window is safe
-    val cum = hist.withColumn("cum",
-      sum("cnt").over(Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val total = broadcast(hist.agg(sum("cnt").as("n")))
-    val ranks = broadcast(ps.distinct.sorted.toDF("p")).crossJoin(total)
-      .select(col("p"), expr("(p * n + 99) div 100").as("rank"))
-    val (lo, hi) = (bucketBounds(col("bucket"))._1, bucketBounds(col("bucket"))._2)
-    ranks.join(cum, col("cum") >= col("rank"), "left")
-      .groupBy("p", "rank").agg(min("bucket").as("bucket"))
-      .join(cum.select(col("bucket"), lo.as("lo_est"), hi.as("hi_est")), Seq("bucket"), "left")
-      .select("p", "rank", "bucket", "lo_est", "hi_est")
+    val cells = hist.select(col("bucket").cast("long"), col("cnt").cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val n = cells.iterator.map(_._2).sum
+    val cum = cells.scanLeft(0L)(_ + _._2).tail
+    def bounds(b: Long): (Long, Long) =
+      if (b < 8) (b - 1, b - 1)
+      else {
+        val sh = (b / 4 - 2).toInt
+        ((((b % 4) + 4) << sh) - 1, (((b % 4) + 5) << sh) - 2)
+      }
+    val rows = ps.distinct.sorted.map { p =>
+      val rank = (p.toLong * n + 99) / 100
+      val idx = cum.indexWhere(_ >= rank)
+      if (idx < 0) (p, rank, None: Option[Long], None: Option[Long], None: Option[Long])
+      else {
+        val b = cells(idx)._1
+        val (lo, hi) = bounds(b)
+        (p, rank, Some(b), Some(lo), Some(hi))
+      }
+    }
+    rows.toDF("p", "rank", "bucket", "lo_est", "hi_est")
   }
 }
