@@ -789,15 +789,30 @@ object Dedup {
     }
   }
 
-  /** 64-bit SimHash over words, built only from md5 so an ANSI SQL oracle can
-    * reproduce it bit-for-bit: bit j of a word's hash is bit j of the 64-bit
-    * integer formed by the first 16 hex chars of md5(word). Column
-    * expressions only (conv + bitwise ops are codegen'd).
+  /** 60-bit SimHash over words, built only from md5 so an ANSI SQL oracle can
+    * reproduce it bit-for-bit: a word's hash is the integer formed by the
+    * first 15 hex chars of md5(word) (60 bits, always positive); simhash bit
+    * j is the majority vote of the words' bit j, ties voting 1.
+    *
+    * Computed by the native codegen'd [[graft.spark.SimHash60Expr]] — ONE
+    * traversal of the document's words and ONE md5 per word. The original
+    * column construction ([[simhashColumns]]) evaluated a per-word
+    * `aggregate()` lambda once PER BIT — sixty re-traversals per document,
+    * the whole cost of q111's 20 s profile reading; the kernel is
+    * equality-pinned against it in OpsSpec. NULL text maps to simhash 0
+    * (the column form's `when(null >= 0).otherwise(0)` collapse),
+    * whitespace-only text to all 60 bits set (zero words, every vote 0).
     */
-  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("simhash",
+      coalesce(graft.spark.TextFunctions.simhash60(col(textCol)), lit(0L)))
+
+  /** The original 60-aggregate column construction of [[simhash]], kept as
+    * the independent reference implementation for the kernel-equality test
+    * (and as documentation of the SQL-oracle semantics).
+    */
+  private[ops] def simhashColumns(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val words = TextAnalysis.words(col(textCol))
-    // per word: 64-bit value from md5 (use 15 hex chars = 60 bits to stay
-    // positive in conv(), top 4 bits always 0 — mirrored by the oracle)
     val wordHash = transform(words, w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
     val bitCols: Seq[org.apache.spark.sql.Column] = (0 until 60).map { j =>
       // sum over words of (2*bit_j - 1) >= 0  -> bit j of the simhash

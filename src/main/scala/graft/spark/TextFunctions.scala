@@ -25,6 +25,60 @@ object TextFunctions {
   def convertEntities(s: UTF8String): UTF8String =
     UTF8String.fromString(graft.core.Entities.convert(s.toString))
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** One-pass 60-bit SimHash kernel — bit-for-bit the semantics of the
+    * original column construction in [[graft.ops.Dedup.simhash]] (split on
+    * [[graft.ops.TextAnalysis.WhitespaceRe]]'s six-character class, per-word
+    * hash = first 15 md5 hex nibbles = big-endian first 8 digest bytes
+    * `>>> 4`, majority vote per bit with ties voting 1), but ONE traversal
+    * of the words and ONE md5 per word instead of sixty `aggregate()`
+    * re-traversals per document. Empty/whitespace-only text has zero words,
+    * so every vote is 0 >= 0 and all 60 bits set — same as the column form.
+    */
+  def simhash60(s: UTF8String): Long = {
+    val text = s.toString
+    val md = md5Local.get()
+    val votes = new Array[Int](60)
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      // skip the whitespace class (exactly WhitespaceRe's six characters)
+      var c = text.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r') {
+        i += 1
+      } else {
+        val start = i
+        while (i < n && {
+          c = text.charAt(i)
+          !(c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r')
+        }) i += 1
+        md.reset()
+        val d = md.digest(text.substring(start, i)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val h = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+        var j = 0
+        while (j < 60) {
+          votes(j) += (((h >>> j) & 1L) * 2 - 1).toInt
+          j += 1
+        }
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) >= 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
   /** arity check in the builder: a wrong-arity SQL call gets a clean
     * AnalysisException instead of a crash or silently-dropped arguments.
     * Shared by BOTH registration paths (createOrReplaceTempFunction and
@@ -51,12 +105,15 @@ object TextFunctions {
       "clean_text", exprs => unary("clean_text", exprs)(CleanTextExpr), "scala_udf")
     reg.createOrReplaceTempFunction(
       "convert_entities", exprs => unary("convert_entities", exprs)(ConvertEntitiesExpr), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "simhash60", exprs => unary("simhash60", exprs)(SimHash60Expr), "scala_udf")
     ExtractDocExpr.register(spark)
   }
 
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
   def cleanText(c: Column): Column = column(CleanTextExpr(expression(c)))
   def convertEntities(c: Column): Column = column(ConvertEntitiesExpr(expression(c)))
+  def simhash60(c: Column): Column = column(SimHash60Expr(expression(c)))
 }
 
 /** clean_text(s): translate ∘ NFKC ∘ trimwords (adsft/utils.py:263-284). */
@@ -83,6 +140,21 @@ case class ConvertEntitiesExpr(child: Expression) extends UnaryExpression with G
     copy(child = newChild)
 }
 
+/** simhash60(s): one-pass 60-bit SimHash of whitespace-split words (the
+  * [[graft.ops.Dedup.simhash]] kernel as a native codegen'd expression).
+  * NULL text stays NULL here; `Dedup.simhash` coalesces to 0 to preserve
+  * the original column construction's NULL-in → 0-out behavior.
+  */
+case class SimHash60Expr(child: Expression) extends UnaryExpression with GraftStringUnaryInput {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextFunctions.simhash60(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextFunctions.simhash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session-extension entry point: `--conf spark.sql.extensions=
   * graft.spark.GraftExtensions` makes every graft SQL function available in
   * every session of a cluster without driver-side registration calls.
@@ -105,5 +177,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => TextFunctions.nary("cosine_sim", 2, exprs)(
         es => CosineSimExpr(es(0), es(1)))))
+    ext.injectFunction((FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60Expr].getName, "simhash60"),
+      (exprs: Seq[Expression]) =>
+        TextFunctions.unary("simhash60", exprs)(SimHash60Expr)))
   }
 }

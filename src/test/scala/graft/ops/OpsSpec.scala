@@ -44,6 +44,24 @@ class OpsSpec extends AnyFunSuite {
     assert(ham(out(1L), out(2L)) <= 12)
   }
 
+  test("simhash: native one-pass kernel equals the 60-aggregate column form") {
+    import spark.implicits._
+    // edge cases the kernel must collapse identically: NULL text -> 0,
+    // empty / whitespace-only (incl. every char of the whitespace class)
+    // -> all 60 bits, multi-byte UTF-8 words, repeated words, single word
+    val texts: Seq[String] = Seq(
+      null, "", " \t\n\f\r", "one", "one one one", "café naïve 中文",
+      "a b c d e f g h", "  leading and trailing  ",
+      (0 until 200).map(i => s"w$i").mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val fast = Dedup.simhash(docs).select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    val slow = Dedup.simhashColumns(docs).select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(fast == slow)
+    assert(fast(0L) == 0L) // NULL text
+    assert(fast(1L) == (1L << 60) - 1) // zero words: every vote ties to 1
+    assert(fast(2L) == (1L << 60) - 1)
+  }
+
   test("cosine kernel and brute-force knn ranking") {
     assert(math.abs(Similarity.cosine(Seq(1f, 0f), Seq(1f, 0f)) - 1.0) < 1e-6)
     assert(math.abs(Similarity.cosine(Seq(1f, 0f), Seq(0f, 1f))) < 1e-6)
