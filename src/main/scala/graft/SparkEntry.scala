@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.ExtractedDoc
 import graft.gen.{SpanGen, Synth}
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, Sketch, TextAnalysis, WebOps}
+import graft.ops.{Dedup, IndexBuild, Multimodal, Sampling, Similarity, Sketch, TextAnalysis, WebOps}
 import graft.spark.{Checker, CheckedDoc, Pipeline, TextFunctions}
 
 /** Driver contract: every operator of SURVEY.md §2 surfaces here as a named
@@ -1116,7 +1116,17 @@ object SparkEntry {
     "q111_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDup(
         s.read.parquet(s"$dir/documents.parquet"), maxHamming = 3, maxBucket = 64)
-        .select("doc_a", "doc_b", "hamming", "truncated"))
+        .select("doc_a", "doc_b", "hamming", "truncated")),
+
+    // inverted-index shard: per-term df / total_tf and a gap-encoded
+    // posting list over the 16 smallest doc ids; the hot-term posting
+    // buffer is bounded BY CONSTRUCTION (IndexBuild.PostingsAgg) on every
+    // map task before the term shuffle — exact df/total_tf ride the same
+    // buffer as counters and feed the truncated flag
+    "q112_inverted_index" -> ((s, dir) =>
+      IndexBuild.invertedIndex(
+        s.read.parquet(s"$dir/documents.parquet"), maxPostings = 16)
+        .select("term", "df", "total_tf", "postings", "truncated"))
   )
 
   /** q106/q107's fixed merge list. Every pair has lhs != rhs (the
@@ -2868,7 +2878,25 @@ object SparkEntry {
           FROM cand c
           JOIN sims sa ON sa.doc_id = c.doc_a
           JOIN sims sb ON sb.doc_id = c.doc_b
-          WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3"""
+          WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3""",
+
+    // same WORDS tokenization; postings = the 16 smallest doc ids per term
+    // as delta:tf gaps (first delta from 0), df/total_tf exact over ALL
+    // postings, truncated when df exceeds the cap
+    "q112_inverted_index" ->
+      s"""WITH tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+                      FROM (SELECT doc_id, unnest($WORDS) AS term FROM documents)
+                      GROUP BY 1, 2),
+          r AS (SELECT term, doc_id, tf,
+                  row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+                  lag(doc_id, 1, 0) OVER (PARTITION BY term ORDER BY doc_id) AS prev
+                FROM tf)
+          SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf,
+            string_agg(CASE WHEN rn <= 16
+                         THEN (doc_id - prev)::VARCHAR || ':' || tf::VARCHAR END,
+                       ',' ORDER BY doc_id) AS postings,
+            (CASE WHEN count(*) > 16 THEN 1 ELSE 0 END)::INT AS truncated
+          FROM r GROUP BY term"""
   )
 
   /** the q106/q107 encode expression over a word column `x`: codepoint

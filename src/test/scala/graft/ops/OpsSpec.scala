@@ -62,6 +62,24 @@ class OpsSpec extends AnyFunSuite {
     assert(fast(2L) == (1L << 60) - 1)
   }
 
+  test("invertedIndex: gap-encoded postings, exact df/tf, bounded truncation") {
+    import spark.implicits._
+    // term "x": docs 9, 2, 5 with tf 1, 2, 1 — cap 2 keeps docs {2, 5},
+    // gap-encoded "2:2,3:1"; df/total_tf stay exact over all three
+    val docs = Seq(
+      (2L, "x x alpha"), (5L, "x beta"), (9L, "x gamma"),
+      (7L, "alpha alpha"))
+      .toDF("doc_id", "text").repartition(3) // force the merge path
+    val out = IndexBuild.invertedIndex(docs, maxPostings = 2)
+      .as[(String, Long, Long, String, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("x") == ((3L, 4L, "2:2,3:1", 1)))
+    assert(out("alpha") == ((2L, 3L, "2:1,5:2", 0)))
+    assert(out("beta") == ((1L, 1L, "5:1", 0)))
+    assert(out("gamma") == ((1L, 1L, "9:1", 0)))
+    assert(out.size == 4)
+  }
+
   test("cosine kernel and brute-force knn ranking") {
     assert(math.abs(Similarity.cosine(Seq(1f, 0f), Seq(1f, 0f)) - 1.0) < 1e-6)
     assert(math.abs(Similarity.cosine(Seq(1f, 0f), Seq(0f, 1f))) < 1e-6)
