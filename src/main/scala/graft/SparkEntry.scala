@@ -1126,7 +1126,16 @@ object SparkEntry {
     "q112_inverted_index" -> ((s, dir) =>
       IndexBuild.invertedIndex(
         s.read.parquet(s"$dir/documents.parquet"), maxPostings = 16)
-        .select("term", "df", "total_tf", "postings", "truncated"))
+        .select("term", "df", "total_tf", "postings", "truncated")),
+
+    // BM25 top-20 in exact integer arithmetic: bit-length idf (the rare
+    // term 'dup' dominates; corpus-common query terms land idf 0, which is
+    // idf doing its job) x c1000 fixed-point Robertson saturation
+    "q113_bm25" -> ((s, dir) =>
+      IndexBuild.bm25TopK(
+        s.read.parquet(s"$dir/documents.parquet"),
+        queryTerms = Seq("dup", "vector", "stream"), k = 20)
+        .select("doc_id", "score_c1000", "n_hits"))
   )
 
   /** q106/q107's fixed merge list. Every pair has lhs != rhs (the
@@ -2896,7 +2905,30 @@ object SparkEntry {
                          THEN (doc_id - prev)::VARCHAR || ':' || tf::VARCHAR END,
                        ',' ORDER BY doc_id) AS postings,
             (CASE WHEN count(*) > 16 THEN 1 ELSE 0 END)::INT AS truncated
-          FROM r GROUP BY term"""
+          FROM r GROUP BY term""",
+
+    // same WORDS tokenization; idf = bit-length log2 (q77's quantization
+    // argument), tf saturation in c1000 fixed point with k1=1.2, b=0.75 —
+    // integer div only, so the top-20 cut is a deterministic total order
+    "q113_bm25" ->
+      s"""WITH b AS (SELECT doc_id, coalesce($WORDS, []) AS w FROM documents),
+          d2 AS (SELECT doc_id, len(w) AS dl,
+                   list_filter(w, t -> t IN ('dup', 'vector', 'stream')) AS qw
+                 FROM b),
+          stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS l FROM d2),
+          tok AS (SELECT doc_id, dl, unnest(qw) AS term FROM d2),
+          tf AS (SELECT doc_id, dl::BIGINT AS dl, term, count(*)::BIGINT AS tf
+                 FROM tok GROUP BY 1, 2, 3),
+          dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+          sc AS (SELECT t.doc_id,
+                   (len(bin(s.n)) - len(bin(d.df)))::BIGINT *
+                     ((22000 * t.tf * 1000) //
+                      (10000 * t.tf + 3000 + 9 * ((t.dl * s.n * 1000) // s.l))) AS c
+                 FROM tf t JOIN dfs d USING (term) CROSS JOIN stats s)
+          SELECT doc_id, sum(c)::BIGINT AS score_c1000,
+                 count(*)::BIGINT AS n_hits
+          FROM sc GROUP BY doc_id
+          ORDER BY score_c1000 DESC, doc_id LIMIT 20"""
   )
 
   /** the q106/q107 encode expression over a word column `x`: codepoint

@@ -100,4 +100,60 @@ object IndexBuild {
       }
       .toDF("term", "df", "total_tf", "postings", "truncated")
   }
+
+  /** BM25 top-k retrieval over the corpus in exact integer arithmetic — the
+    * query side of [[invertedIndex]] (corpus forensics: find the documents a
+    * benchmark phrase or contamination probe scores highest against).
+    *
+    * The usual IEEE formulation (ln idf, float saturation) is
+    * order-of-summation dependent and cannot be oracle-gated, so both
+    * factors are quantized exactly ([[TextAnalysis.unigramSurprisal]]'s
+    * argument): idf = floorLog2(N) - floorLog2(df) via bit-length
+    * arithmetic (whole-bit rarity classes; common terms with df in N's
+    * octave contribute 0, exactly idf's job), and the Robertson tf
+    * saturation tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) with k1=1.2, b=0.75
+    * evaluated in c1000 fixed point: r_c1000 = dl*N*1000 div L (avgdl =
+    * L/N), tf_part_c1000 = 22000*tf*1000 div (10000*tf + 3000 + 9*r_c1000)
+    * — integer div only, so scores hash-compare across engines. Per-doc
+    * score = sum over matched query terms of idf * tf_part_c1000; output
+    * the top `k` by (score desc, doc_id asc), a total order.
+    *
+    * Scale: per-doc query-term occurrences come from `filter(w, t -> t IN
+    * query)` BEFORE the explode — only query-term hits leave the row, the
+    * corpus token stream is never materialized. One groupBy(doc_id, term)
+    * with map-side partials, a broadcast join against the |query|-row df
+    * table, one groupBy(doc_id), and a TakeOrdered(k) — no corpus-wide
+    * sort. Corpus stats (N, L) are one separate two-scalar aggregate scan.
+    * Int64 headroom: needs N*max(dl)*1000 < 2^63 (~4e8 docs at 2e4 tokens
+    * each per index shard — shard the corpus above that).
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, "k must be positive")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      coalesce(TextAnalysis.words(col(textCol)), array()).as("w"))
+    val withDl = base.select(col("doc_id"), size(col("w")).as("dl"),
+      filter(col("w"), t => t.isin(queryTerms: _*)).as("qw"))
+    val statsRow = withDl.agg(count(lit(1)), sum(col("dl").cast("long"))).first()
+    val n = statsRow.getLong(0)
+    val l = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    require(l > 0, "bm25TopK: corpus has no tokens")
+    val tf = withDl
+      .select(col("doc_id"), col("dl").cast("long").as("dl"),
+        explode(col("qw")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfs), "term")
+      .withColumn("idf_bits",
+        (length(bin(lit(n))) - length(bin(col("df")))).cast("long"))
+      .withColumn("r_c1000", expr(s"dl * ${n}L * 1000L div ${l}L"))
+      .withColumn("c",
+        col("idf_bits") *
+          expr("22000L * tf * 1000L div (10000L * tf + 3000L + 9L * r_c1000)"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("score_c1000"), count(lit(1)).as("n_hits"))
+      .orderBy(col("score_c1000").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -80,6 +80,20 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size == 4)
   }
 
+  test("bm25TopK: hand-computed integer scores, rare-term dominance, miss excluded") {
+    import spark.implicits._
+    // N=4, L=18, avgdl=4.5; df(dup)=2 -> idf 1, df(vector)=df(stream)=1 -> idf 2
+    val docs = Seq(
+      (1L, "dup dup dup aa bb"),             // r=1111, tfp=1534, score 1534
+      (2L, "dup aa bb cc dd ee ff gg"),      // r=1777, tfp=758,  score 758
+      (3L, "aa bb"),                         // no hits -> absent
+      (4L, "vector stream aa"))              // r=666, tfp=1158, 2*(2*1158)=4632
+      .toDF("doc_id", "text")
+    val out = IndexBuild.bm25TopK(docs, Seq("dup", "vector", "stream"), k = 20)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((4L, 4632L, 2L), (1L, 1534L, 1L), (2L, 758L, 1L)))
+  }
+
   test("cosine kernel and brute-force knn ranking") {
     assert(math.abs(Similarity.cosine(Seq(1f, 0f), Seq(1f, 0f)) - 1.0) < 1e-6)
     assert(math.abs(Similarity.cosine(Seq(1f, 0f), Seq(0f, 1f))) < 1e-6)
