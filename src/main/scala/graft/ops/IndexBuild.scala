@@ -139,10 +139,18 @@ object IndexBuild {
     val n = statsRow.getLong(0)
     val l = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
     require(l > 0, "bm25TopK: corpus has no tokens")
+    // tf is bounded by (matching docs x |query|), NOT corpus-sized, and both
+    // the df model and the scoring read it — persist so the df subtree does
+    // not re-scan and re-aggregate the corpus (the plan audit showed the
+    // unpersisted dfs branch recomputing the whole explode+agg as a third
+    // parquet scan). The cache stays registered because tf is part of the
+    // RETURNED plan (default MEMORY_AND_DISK, small, LRU-evictable); callers
+    // holding the session long-term can sparkSession.catalog.clearCache()
     val tf = withDl
       .select(col("doc_id"), col("dl").cast("long").as("dl"),
         explode(col("qw")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .persist()
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfs), "term")
       .withColumn("idf_bits",
