@@ -390,11 +390,14 @@ object Bench {
             s""""layout":"${if (BenchCore.bucketed) s"bucketed(${BenchCore.Buckets}) zero-exchange state join" else "plain parquet"}",""" +
             s""""aggregation":"best-of-${byRound.length}-interleaved-rounds-per-level incl. bonus 8/2 pairs (host throttles in multi-minute windows; per-round ratios published)"}"""
         }
-      // the per-query map goes LAST: the driver keeps only a tail of stdout,
-      // and this field order guarantees the profile survives the capture
-      // even when the scaling block pushes the line past the tail window
-      f"""{"metric":"docs_per_sec_end_to_end","value":$headlineRate%.1f,"unit":"docs/sec","sf":"$sfDir","input_docs":$nInput,"total_query_sec":$totalSec%.1f,"scaling":$scalingJson,""" +
-        f""""status":"$status","budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsed%.0f,"runs_skipped":$runsSkipped,"queries_skipped":$queriesSkipped,"queries":$qs}"""
+      // field order matters for tail-capturing harnesses: the per-query map
+      // goes FIRST and the headline scalars LAST inside the same object
+      // (JSON key order is preserved), so a bounded stdout tail that cuts
+      // into this line still ends with the complete headline —
+      // value/scaling/status — even though the grown query map alone
+      // overflows a 2,000-char window (the r4 regression, inverted)
+      f"""{"queries":$qs,"metric":"docs_per_sec_end_to_end","sf":"$sfDir","input_docs":$nInput,"total_query_sec":$totalSec%.1f,"scaling":$scalingJson,""" +
+        f""""budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsed%.0f,"runs_skipped":$runsSkipped,"queries_skipped":$queriesSkipped,"value":$headlineRate%.1f,"unit":"docs/sec","status":"$status"}"""
     }
 
     def emitPartial(): Unit = {
@@ -583,10 +586,12 @@ object Bench {
 
     status = if (runsSkipped + queriesSkipped > 0) "partial" else "complete"
     latestJson = buildJson()
-    // print order matters for tail-capturing harnesses: the compact summary
-    // goes FIRST and the full JSON — whose final field is the per-query
-    // profile map — goes LAST, so a 2,000-char stdout tail always contains
-    // the complete per-query regression profile plus the status fields
+    // print order matters for tail-capturing harnesses: the FULL json (whose
+    // final fields are the headline scalars, per buildJson's field order)
+    // goes first and the one-line compact summary — headline + efficiency +
+    // slowest-5, always well under 2,000 chars — goes LAST, so a bounded
+    // stdout tail ends with a complete, parseable headline line no matter
+    // how large the per-query map grows (r4's eviction, fixed both ways)
     val r = rate
     val summary = {
       val eff = if (r.contains(2) && r.contains(8)) f"${(r(8) / r(2)) / 4.0}%.3f" else "null"
@@ -613,8 +618,8 @@ object Bench {
         },""" +
         f""""total_query_sec":${queryTimes.values.sum}%.1f,"status":"$status","runs_skipped":$runsSkipped,"queries_skipped":$queriesSkipped}"""
     }
-    println(summary)
     println(latestJson)
+    println(summary)
     System.out.flush()
     finalPrinted = true
     spark.stop()

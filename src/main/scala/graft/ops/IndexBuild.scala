@@ -27,45 +27,101 @@ import org.apache.spark.sql.functions._
   */
 object IndexBuild {
 
+  /** Caches registered by this module (currently: each [[bm25TopK]] call's
+    * query-bounded tf frame). Weak refs: a frame the caller dropped and the
+    * GC collected needs no unpersist bookkeeping beyond the LRU store.
+    */
+  private val registeredCaches =
+    scala.collection.mutable.ListBuffer.empty[java.lang.ref.WeakReference[DataFrame]]
+
+  private def registerCache(df: DataFrame): DataFrame = synchronized {
+    registeredCaches += new java.lang.ref.WeakReference(df)
+    df
+  }
+
+  /** Unpersist every cache this module registered and forget them; returns
+    * how many live frames were actually unpersisted. A long-lived session
+    * issuing many [[bm25TopK]] queries should call this between batches of
+    * retrieval work (each call persists one small tf frame for the lifetime
+    * of the returned plan; without cleanup they accumulate in the LRU
+    * store). Safe at any time: unpersisting only degrades later re-actions
+    * of an already-returned plan to recomputation, never correctness.
+    */
+  def clearCaches(): Int = synchronized {
+    val live = registeredCaches.flatMap(r => Option(r.get))
+    live.foreach(_.unpersist(blocking = false))
+    registeredCaches.clear()
+    live.size
+  }
+
+  /** [[PostingsAgg]] buffer: parallel primitive-long arrays whose live
+    * prefix is `[0, n)` (capacity may exceed `n` — amortized doubling up
+    * to `k` — and the slack serializes as garbage only on spill, where it
+    * is ignored on read because every consumer bounds itself by `n`).
+    * Unboxed arrays + in-place memmove make reduce a binary search plus
+    * one `System.arraycopy` instead of an O(k) boxed Vector rebuild per
+    * input row (quadratic-ish per group at large `maxPostings`).
+    */
+  case class PostingsBuf(ids: Array[Long], tfs: Array[Long], n: Int,
+      df: Long, tf: Long)
+
   /** Bounded posting-list Aggregator: keeps the `k` smallest (doc_id, tf)
     * pairs in a sorted buffer PLUS exact df / total_tf counters. Input
     * pairs are distinct in doc_id per group (they come out of the
-    * (term, doc_id) pre-aggregation), so df is a plain count.
+    * (term, doc_id) pre-aggregation), so df is a plain count. Spark's
+    * typed-Aggregator contract allows reduce to mutate its buffer in
+    * place, which this does (the arrays are modified, the wrapper is
+    * rebuilt).
     */
   class PostingsAgg(k: Int)
-      extends Aggregator[(Long, Long), (Seq[(Long, Long)], Long, Long),
+      extends Aggregator[(Long, Long), PostingsBuf,
         (Seq[(Long, Long)], Long, Long)] {
     require(k > 0, "maxPostings must be positive")
-    def zero: (Seq[(Long, Long)], Long, Long) = (Vector.empty, 0L, 0L)
+    def zero: PostingsBuf =
+      PostingsBuf(Array.emptyLongArray, Array.emptyLongArray, 0, 0L, 0L)
 
-    def reduce(b: (Seq[(Long, Long)], Long, Long), a: (Long, Long))
-        : (Seq[(Long, Long)], Long, Long) = {
-      val (buf, df, tf) = b
-      val nb =
-        if (buf.length >= k && buf.last._1 <= a._1) buf // saturated: O(1)
-        else {
-          val (lt, ge) = buf.span(_._1 < a._1)
-          ((lt :+ a) ++ ge).take(k)
+    def reduce(b: PostingsBuf, a: (Long, Long)): PostingsBuf = {
+      val (id, t) = a
+      if (b.n >= k && b.ids(b.n - 1) <= id) // saturated, not smaller: O(1)
+        PostingsBuf(b.ids, b.tfs, b.n, b.df + 1L, b.tf + t)
+      else {
+        // binary search for the insert position in the live prefix
+        var lo = 0; var hi = b.n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (b.ids(mid) < id) lo = mid + 1 else hi = mid
         }
-      (nb, df + 1L, tf + a._2)
-    }
-
-    def merge(a: (Seq[(Long, Long)], Long, Long),
-        b: (Seq[(Long, Long)], Long, Long)): (Seq[(Long, Long)], Long, Long) = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      var (i, j) = (0, 0)
-      val (ab, bb) = (a._1, b._1)
-      while (out.length < k && (i < ab.length || j < bb.length)) {
-        if (j >= bb.length || (i < ab.length && ab(i)._1 <= bb(j)._1)) {
-          out += ab(i); i += 1
-        } else { out += bb(j); j += 1 }
+        val newN = math.min(k, b.n + 1)
+        var ids = b.ids; var tfs = b.tfs
+        if (ids.length < newN) { // grow capacity: doubling, capped at k
+          val cap = math.min(k, math.max(4, ids.length * 2))
+          ids = java.util.Arrays.copyOf(ids, cap)
+          tfs = java.util.Arrays.copyOf(tfs, cap)
+        }
+        // shift right by one; the former last element falls off if full
+        System.arraycopy(ids, lo, ids, lo + 1, newN - 1 - lo)
+        System.arraycopy(tfs, lo, tfs, lo + 1, newN - 1 - lo)
+        ids(lo) = id; tfs(lo) = t
+        PostingsBuf(ids, tfs, newN, b.df + 1L, b.tf + t)
       }
-      (out.toVector, a._2 + b._2, a._3 + b._3)
     }
 
-    def finish(r: (Seq[(Long, Long)], Long, Long)): (Seq[(Long, Long)], Long, Long) = r
-    def bufferEncoder: Encoder[(Seq[(Long, Long)], Long, Long)] =
-      Encoders.product[(Seq[(Long, Long)], Long, Long)]
+    def merge(a: PostingsBuf, b: PostingsBuf): PostingsBuf = {
+      val n = math.min(k, a.n + b.n)
+      val ids = new Array[Long](n); val tfs = new Array[Long](n)
+      var i = 0; var j = 0; var o = 0
+      while (o < n) {
+        if (j >= b.n || (i < a.n && a.ids(i) <= b.ids(j))) {
+          ids(o) = a.ids(i); tfs(o) = a.tfs(i); i += 1
+        } else { ids(o) = b.ids(j); tfs(o) = b.tfs(j); j += 1 }
+        o += 1
+      }
+      PostingsBuf(ids, tfs, n, a.df + b.df, a.tf + b.tf)
+    }
+
+    def finish(r: PostingsBuf): (Seq[(Long, Long)], Long, Long) =
+      ((0 until r.n).map(i => (r.ids(i), r.tfs(i))), r.df, r.tf)
+    def bufferEncoder: Encoder[PostingsBuf] = Encoders.product[PostingsBuf]
     def outputEncoder: Encoder[(Seq[(Long, Long)], Long, Long)] =
       Encoders.product[(Seq[(Long, Long)], Long, Long)]
   }
@@ -144,13 +200,14 @@ object IndexBuild {
     // not re-scan and re-aggregate the corpus (the plan audit showed the
     // unpersisted dfs branch recomputing the whole explode+agg as a third
     // parquet scan). The cache stays registered because tf is part of the
-    // RETURNED plan (default MEMORY_AND_DISK, small, LRU-evictable); callers
-    // holding the session long-term can sparkSession.catalog.clearCache()
-    val tf = withDl
+    // RETURNED plan (default MEMORY_AND_DISK, small, LRU-evictable); it is
+    // tracked in [[registeredCaches]] so long-lived sessions can release
+    // every bm25 cache at once via [[IndexBuild.clearCaches]]
+    val tf = registerCache(withDl
       .select(col("doc_id"), col("dl").cast("long").as("dl"),
         explode(col("qw")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .persist()
+      .persist())
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfs), "term")
       .withColumn("idf_bits",

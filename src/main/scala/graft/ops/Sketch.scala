@@ -254,9 +254,13 @@ object Sketch {
     * leading bit), giving 4 sub-buckets per octave and <= 25% relative
     * width per bucket. All bit-length/shift/mask arithmetic — a
     * cross-engine oracle replays it via `len(bin(x)) - 1` and `>>`/`&`.
+    * The v -> v+1 map saturates at Long.MaxValue (ANSI mode would throw
+    * on the +1 otherwise), so the single topmost value shares the top
+    * bucket with MaxValue-1 — consistent with [[bucketBounds]]'s
+    * saturated top-octave ranges.
     */
   private[ops] def logBucket(v: Column): Column = {
-    val x = v + lit(1L)
+    val x = when(v === Long.MaxValue, lit(Long.MaxValue)).otherwise(v + lit(1L))
     val l = (length(bin(x)) - 1).cast("long")
     // call_function: the Scala shiftright/shiftleft wrappers only take a
     // literal Int shift; the SQL functions take a column
@@ -267,15 +271,25 @@ object Sketch {
 
   /** inclusive [lo, hi] value range (in v-space) covered by a
     * [[logBucket]] id — the deterministic "estimate" a quantile read
-    * reports
+    * reports. Bounds SATURATE at Long.MaxValue in the top octaves
+    * (l >= 61, values >= ~2^62): there `(sub+5) << sh` would wrap
+    * negative, so any bound whose shift would overflow reports
+    * Long.MaxValue instead — the full 64-bit non-negative domain is
+    * supported, with (at most) the top bucket's bound widened by one.
     */
   private[ops] def bucketBounds(b: Column): (Column, Column) = {
     val l = (b / 4).cast("long") // b >= 0: double-div + truncate == floor
     val sub = pmod(b, lit(4L))
     val sh = (l - 2).cast("int")
-    val lo = when(b < 8, b).otherwise(call_function("shiftleft", sub + 4, sh))
-    val hi = when(b < 8, b).otherwise(call_function("shiftleft", sub + 5, sh) - 1)
-    (lo - 1, hi - 1)
+    // largest base that shifts without overflow: base <= MaxValue >> sh
+    val maxSafe = call_function("shiftright", lit(Long.MaxValue), sh)
+    val lo = when(b < 8, b - 1).otherwise(
+      when(sub + 4 > maxSafe, lit(Long.MaxValue))
+        .otherwise(call_function("shiftleft", sub + 4, sh) - 1))
+    val hi = when(b < 8, b - 1).otherwise(
+      when(sub + 5 > maxSafe, lit(Long.MaxValue))
+        .otherwise(call_function("shiftleft", sub + 5, sh) - 2))
+    (lo, hi)
   }
 
   /** Mergeable log-bucket histogram over a non-negative integer column:
@@ -316,11 +330,16 @@ object Sketch {
       .as[(Long, Long)].collect().sortBy(_._1)
     val n = cells.iterator.map(_._2).sum
     val cum = cells.scanLeft(0L)(_ + _._2).tail
+    // same saturation rule as [[bucketBounds]]: a shift that would wrap
+    // past Long.MaxValue reports Long.MaxValue (top octaves, l >= 61)
     def bounds(b: Long): (Long, Long) =
       if (b < 8) (b - 1, b - 1)
       else {
         val sh = (b / 4 - 2).toInt
-        ((((b % 4) + 4) << sh) - 1, (((b % 4) + 5) << sh) - 2)
+        val maxSafe = Long.MaxValue >> sh
+        def sat(base: Long, off: Long): Long =
+          if (base > maxSafe) Long.MaxValue else (base << sh) - off
+        (sat((b % 4) + 4, 1), sat((b % 4) + 5, 2))
       }
     val rows = ps.distinct.sorted.map { p =>
       val rank = (p.toLong * n + 99) / 100

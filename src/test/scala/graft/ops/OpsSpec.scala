@@ -94,6 +94,20 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Seq((4L, 4632L, 2L), (1L, 1534L, 1L), (2L, 758L, 1L)))
   }
 
+  test("bm25TopK: clearCaches releases each call's tf cache (no lingering cached relation)") {
+    import spark.implicits._
+    IndexBuild.clearCaches() // drain registrations from earlier tests
+    val docs = Seq((1L, "dup aa"), (2L, "dup bb"), (3L, "cc"))
+      .toDF("doc_id", "text")
+    val r1 = IndexBuild.bm25TopK(docs, Seq("dup"), k = 5)
+    val r2 = IndexBuild.bm25TopK(docs, Seq("cc"), k = 5)
+    assert(r1.count() == 2 && r2.count() == 1) // actions populate both caches
+    assert(IndexBuild.clearCaches() == 2)      // both live tf frames released
+    assert(IndexBuild.clearCaches() == 0)      // idempotent: registry drained
+    // released plans still recompute correctly without the cache
+    assert(r1.as[(Long, Long, Long)].collect().map(_._1).toSet == Set(1L, 2L))
+  }
+
   test("cosine kernel and brute-force knn ranking") {
     assert(math.abs(Similarity.cosine(Seq(1f, 0f), Seq(1f, 0f)) - 1.0) < 1e-6)
     assert(math.abs(Similarity.cosine(Seq(1f, 0f), Seq(0f, 1f))) < 1e-6)

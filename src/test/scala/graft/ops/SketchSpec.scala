@@ -121,6 +121,28 @@ class SketchSpec extends AnyFunSuite {
     assert(rows.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("bucketBounds: top-octave bounds saturate at Long.MaxValue, never wrap negative") {
+    val (lo, hi) = Sketch.bucketBounds(col("b"))
+    // values spanning 2^61 .. Long.MaxValue land in the octaves whose raw
+    // shifts overflow; bounds must stay non-negative, ordered, containing
+    val vals = Seq(1L << 61, (1L << 62) - 1, 1L << 62,
+      (1L << 62) + (1L << 61), Long.MaxValue - 1, Long.MaxValue)
+    val rows = vals.toDF("v")
+      .withColumn("b", Sketch.logBucket(col("v")))
+      .select(col("v"), col("b"), lo.as("lo"), hi.as("hi"))
+      .as[(Long, Long, Long, Long)].collect()
+    rows.foreach { case (v, b, l, h) =>
+      assert(l >= 0 && h >= 0, s"wrapped: v=$v b=$b [$l,$h]")
+      assert(l <= h, s"inverted: v=$v b=$b [$l,$h]")
+      assert(l <= v && v <= h, s"containment: v=$v b=$b [$l,$h]")
+    }
+    // driver-side replica (histQuantiles.bounds) agrees with the columns
+    val q = Sketch.histQuantiles(
+      Sketch.logHistogram(vals.toDF("v"), col("v")), Seq(100))
+      .select("lo_est", "hi_est").as[(Long, Long)].head()
+    assert(q._1 >= 0 && q._1 <= q._2 && q._2 == Long.MaxValue)
+  }
+
   test("histQuantiles: the true percentile value is inside every reported range") {
     val vals = (0 until 1000).map(i => (i.toLong * i * 31L) % 7919L)
     val ps = Seq(1, 25, 50, 75, 90, 99, 100)
