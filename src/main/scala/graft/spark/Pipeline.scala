@@ -234,6 +234,40 @@ object Pipeline {
     }
   }
 
+  /** One-call table maintenance — the housekeeping a long-lived extraction
+    * table needs between [[runCommitted]] invocations, surfaced through the
+    * pipeline API so a scheduler job never reaches into [[SnapshotTable]]
+    * directly:
+    *
+    *   1. [[SnapshotTable.compact]] folds the retry/supersede append
+    *      history into a single overwrite snapshot, so the
+    *      [[SnapshotTable.readCurrent]] merge-on-read cost stops growing
+    *      with the number of ingest runs;
+    *   2. [[SnapshotTable.vacuum]] drops manifests beyond the `keepLast`
+    *      retention horizon and reclaims data files no retained manifest
+    *      references. The `olderThanMs` age guard (Iceberg's orphan-file
+    *      rule) is what makes this safe next to an in-flight writer:
+    *      files written but not yet pointer-swapped are younger than any
+    *      sane horizon, so they are never eaten.
+    *
+    * Both halves keep the live view byte-identical: compact refuses (and
+    * this method rethrows) if a concurrent commit lands mid-rewrite, and
+    * vacuum never touches the newest `keepLast` snapshots. Time travel
+    * ([[SnapshotTable.readAt]]) beyond the horizon is the one thing
+    * traded away — that is the point of retention.
+    *
+    * Returns (compacted snapshot id or -1 when already compact,
+    * data files deleted, manifests deleted).
+    */
+  def maintain(spark: SparkSession, tableDir: String, keepLast: Int = 1,
+      olderThanMs: Long = 7L * 24 * 3600 * 1000,
+      keyCol: String = "doc_id"): (Long, Int, Int) = {
+    val snap = SnapshotTable.compact(spark, tableDir, keyCol)
+    val (files, manifests) =
+      SnapshotTable.vacuum(spark, tableDir, keepLast, olderThanMs)
+    (snap, files, manifests)
+  }
+
   /** Full batch run: classify -> filter -> recover-or-extract -> extraction.
     * `prevExtracted` (the previous output snapshot) serves FORCE_TO_SEND
     * recovery (adsft/extraction.py:1212-1220): recovered rows are passed

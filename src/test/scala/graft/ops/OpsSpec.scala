@@ -2054,6 +2054,32 @@ class OpsSpec extends AnyFunSuite {
       ("und", 2L, 2L, 4L)))
   }
 
+  test("boundedBuckets stress: one bucket 780x over cap completes, exact cap + truncated=1") {
+    import spark.implicits._
+    // 50,000 IDENTICAL docs collapse every one of the 16 band keys into a
+    // single bucket holding all 50k ids — ~780x the 64-id cap, the
+    // executor-OOM shape a raw groupBy+collect_list would hit at corpus
+    // scale. Contract under that skew: the job COMPLETES with a bounded
+    // aggregation buffer (row_number ranks and drops rows on the same
+    // shuffle key BEFORE any collect_list, so no buffer ever holds more
+    // than maxBucket ids), the surviving ids are exactly the smallest 64,
+    // and the overflow is surfaced as truncated=1 — never silent.
+    val docs = (0L until 50000L).map(id => (id, "aa bb cc dd ee ff gg hh"))
+      .toDF("doc_id", "text").repartition(8)
+    val buckets = Dedup.boundedBuckets(Dedup.signBands(docs), "doc_id", maxBucket = 64)
+    val plan = buckets.queryExecution.optimizedPlan.toString
+    assert(plan.contains("row_number"), plan.take(3000))
+    assert(!plan.matches("(?s).*collect_list\\(doc_id.*"),
+      "collect_list aggregates the raw unbounded bucket:\n" + plan.take(3000))
+    val rows = buckets.select("ids", "truncated").as[(Seq[Long], Int)].collect()
+    assert(rows.length == 16, s"expected one capped row per band, got ${rows.length}")
+    assert(rows.forall { case (ids, tr) => ids == (0L until 64L) && tr == 1 },
+      rows.take(2).mkString("; "))
+    // end-to-end through the verified-pairs consumer: C(64,2) pairs of the
+    // smallest ids, nothing else, no failure
+    assert(Dedup.minhashLsh(docs).count() == 64L * 63 / 2)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

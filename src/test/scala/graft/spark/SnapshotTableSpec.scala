@@ -284,6 +284,42 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, table).get.count() == 2)
   }
 
+  test("Pipeline.maintain: run -> retry -> compact+vacuum leaves one snapshot, view unchanged") {
+    import spark.implicits._
+    val table = tmpTable()
+    val prev = SpanGen.prevState(spark, dir)
+    // same planted retry history as the supersede test: doc 28 errors on
+    // run 1, is retried on run 2, succeeds from the fixed source on run 3
+    val good = SpanGen.docs(spark, dir).toDF()
+      .filter(col("doc_id").isin("D000000007", "D000000028"))
+    val broken = good.withColumn("format",
+      when(col("doc_id") === "D000000028", lit("weird")).otherwise(col("format")))
+    Pipeline.runCommitted(spark, broken, prev, None, ts, "m1", table, 2)
+    Pipeline.runCommitted(spark, broken, prev, None, ts, "m2", table, 2)
+    Pipeline.runCommitted(spark, good, prev, None, ts, "m3", table, 2)
+    val before = SnapshotTable.readCurrent(spark, table).get
+      .select("doc_id", "fulltext", "error").as[(String, String, String)]
+      .collect().toSet
+    assert(before.size == 2 && before.forall(_._3 == null))
+    assert(SnapshotTable.lineage(spark, table).map(_.snapshot).toSet == Set(0L, 1L, 2L))
+
+    // the one-call scheduler entry point (horizon 0 = single-writer test)
+    val (snap, files, manifests) = Pipeline.maintain(spark, table, olderThanMs = 0)
+    assert(snap == 3L)
+    assert(manifests == 3 && files >= 3, s"deleted ($files, $manifests)")
+    // the merge-on-read view is byte-identical, now served from the ONE
+    // compacted snapshot's files; history beyond it is gone
+    assert(SnapshotTable.readCurrent(spark, table).get
+      .select("doc_id", "fulltext", "error").as[(String, String, String)]
+      .collect().toSet == before)
+    assert(SnapshotTable.lineage(spark, table).map(_.snapshot).toSet == Set(3L))
+    assert(SnapshotTable.history(spark, table).map(_._1) == Seq(3L))
+    // maintain again: already compact, nothing left to reclaim
+    assert(Pipeline.maintain(spark, table, olderThanMs = 0) == ((-1L, 0, 0)))
+    // and ingest keeps working on the maintained table
+    assert(Pipeline.runCommitted(spark, good, prev, None, ts, "m4", table, 2) == -1L)
+  }
+
   test("readCurrent resolves same-snapshot duplicate keys deterministically") {
     import spark.implicits._
     val table = tmpTable()
