@@ -1162,7 +1162,79 @@ object SparkEntry {
       IndexBuild.bm25TopK(
         s.read.parquet(s"$dir/documents.parquet"),
         queryTerms = Seq("dup", "vector", "stream"), k = 20)
-        .select("doc_id", "score_c1000", "n_hits"))
+        .select("doc_id", "score_c1000", "n_hits")),
+
+    // the incremental curation capstone — one ingest batch against planted
+    // standing stores, every fate exercised: store exact re-deliveries
+    // (100-119 @ +4e6), within-batch mirrors (upper+'!!!' @ +3e6), store
+    // near-dups (drop-1 of 0-29 @ +2e6), within-batch near-dup families
+    // (drop-1 of 200-229 @ +1e6), semantic near-dups whose TEXT is novel
+    // (260-279 @ +5e6 carrying perturbed copies of store vectors 60-79),
+    // PII planted on %7 for kept-scrub coverage; all other batch docs ride
+    // novel vectors 300-349 (the q95 no-match family)
+    "q114_curate_incremental" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text", "source")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val store = docs.filter(col("doc_id") < 150).select("doc_id", "text")
+      val hashStore = store
+        .select(md5(Dedup.normalizeForDedup(col("text"))).as("text_hash"))
+      val sigStore = Dedup.signBands(store)
+      val embStore = emb.filter(col("vec_id") < 150)
+      val embSigStore = Dedup.signEmbeddings(embStore)
+
+      val b0 = docs.filter(col("doc_id").between(200, 259))
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(lit("contact bob@example.com "), col("text")))
+            .otherwise(col("text")))
+      val w = ops.TextAnalysis.words(col("text"))
+      val batch = b0
+        .unionAll(b0.filter(col("doc_id") < 230)
+          .withColumn("text", concat_ws(" ", slice(w, lit(1), size(w) - 1)))
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+        .unionAll(b0.filter(col("doc_id") < 220)
+          .withColumn("text", concat(upper(col("text")), lit("!!!")))
+          .withColumn("doc_id", col("doc_id") + 3000000L))
+        .unionAll(docs.filter(col("doc_id").between(100, 119))
+          .withColumn("doc_id", col("doc_id") + 4000000L))
+        .unionAll(docs.filter(col("doc_id") < 30)
+          .withColumn("text", concat_ws(" ", slice(w, lit(1), size(w) - 1)))
+          .withColumn("doc_id", col("doc_id") + 2000000L))
+        .unionAll(docs.filter(col("doc_id").between(260, 279))
+          .withColumn("doc_id", col("doc_id") + 5000000L))
+
+      val batchEmb = perturbFirstComponent(
+          emb.filter(col("vec_id").between(60, 79)))
+        .withColumn("vec_id", col("vec_id") + 5000200L)
+        .unionAll(batch.filter(!col("doc_id").between(5000260L, 5000279L))
+          .select(col("doc_id").as("vec_id"),
+            (pmod(col("doc_id"), lit(50)) + 300).as("k"))
+          .join(emb.select(col("vec_id").as("k"), col("embedding")), Seq("k"))
+          .select("vec_id", "embedding"))
+
+      graft.ops.Curate.curateIncremental(batch, hashStore, sigStore, store,
+        expectedBatchItems = 400, batchEmb = Some(batchEmb),
+        embSigStore = Some(embSigStore), embStoreVecs = Some(embStore)).docs
+    }),
+
+    // char-granularity ExactSubstr dedup: a boilerplate license line
+    // planted on every %3 doc repeats corpus-wide at stride 1, so the
+    // covered union (the passage plus any repeated flank) is excised
+    // exactly even across token boundaries; the synthetic vocabulary's
+    // natural >=25-char stride-1 repeats dedup identically in both engines
+    "q115_char_dedup" -> ((s, dir) =>
+      Dedup.removeDuplicatedCharRuns(
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") < 40)
+          .withColumn("text",
+            when(col("doc_id") % 3 === 0,
+              concat(col("text"),
+                lit(" (c) 2026 Example Corp All rights reserved worldwide")))
+              .otherwise(col("text")))
+          .select("doc_id", "text"),
+        l = 25))
   )
 
   /** q106/q107's fixed merge list. Every pair has lhs != rhs (the
@@ -2957,7 +3029,140 @@ object SparkEntry {
           SELECT doc_id, sum(c)::BIGINT AS score_c1000,
                  count(*)::BIGINT AS n_hits
           FROM sc GROUP BY doc_id
-          ORDER BY score_c1000 DESC, doc_id LIMIT 20"""
+          ORDER BY score_c1000 DESC, doc_id LIMIT 20""",
+
+    // the incremental curation chain restated store-first: normalized-hash
+    // ownership + store-hash membership -> exact 3-gram jaccard vs the
+    // store -> embedding cosine vs the store -> q94's within-batch
+    // machinery (pairs, recursive-CTE components, longest-wins resolution,
+    // short gate, scrub + split hash) over what is genuinely novel
+    "q114_curate_incremental" ->
+      s"""WITH RECURSIVE
+          sn AS (SELECT md5(${normSql("text")}) AS h FROM documents WHERE doc_id < 150),
+          st_tk AS (SELECT doc_id, $WORDS AS w, source FROM documents WHERE doc_id < 30),
+          b0 AS (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN 'contact bob@example.com ' || text
+                        ELSE text END AS text, source
+                 FROM documents WHERE doc_id BETWEEN 200 AND 259),
+          tk0 AS (SELECT doc_id, $WORDS AS w, source FROM b0),
+          batch AS (
+            SELECT doc_id, text, source FROM b0
+            UNION ALL SELECT doc_id + 1000000, array_to_string(w[1:len(w)-1], ' '), source
+                      FROM tk0 WHERE doc_id < 230
+            UNION ALL SELECT doc_id + 3000000, upper(text) || '!!!', source
+                      FROM b0 WHERE doc_id < 220
+            UNION ALL SELECT doc_id + 4000000, text, source FROM documents
+                      WHERE doc_id BETWEEN 100 AND 119
+            UNION ALL SELECT doc_id + 2000000, array_to_string(w[1:len(w)-1], ' '), source
+                      FROM st_tk
+            UNION ALL SELECT doc_id + 5000000, text, source FROM documents
+                      WHERE doc_id BETWEEN 260 AND 279),
+          nrm AS (SELECT doc_id, text, source, md5(${normSql("text")}) AS h FROM batch),
+          own AS (SELECT h, min(doc_id) AS own FROM nrm GROUP BY 1),
+          ex AS (SELECT nrm.doc_id FROM nrm JOIN own USING (h) WHERE nrm.doc_id <> own.own
+                 UNION SELECT nrm.doc_id FROM nrm WHERE h IN (SELECT h FROM sn)),
+          s1 AS (SELECT doc_id, text, source FROM nrm
+                 WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
+          s1sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(len(w) - 2, 0)),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+                   FROM (SELECT doc_id, $WORDS AS w FROM s1)),
+          ssh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, greatest(len(w) - 2, 0)),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+                  FROM (SELECT doc_id, $WORDS AS w FROM documents WHERE doc_id < 150)),
+          bsz AS (SELECT doc_id, count(*) AS sz FROM s1sh GROUP BY 1),
+          ssz AS (SELECT doc_id, count(*) AS sz FROM ssh GROUP BY 1),
+          sint AS (SELECT b.doc_id AS doc_id, s.doc_id AS sid, count(*) AS c
+                   FROM s1sh b JOIN ssh s ON b.shingle = s.shingle GROUP BY 1, 2),
+          ndst AS (SELECT DISTINCT sint.doc_id FROM sint
+                   JOIN bsz ON bsz.doc_id = sint.doc_id
+                   JOIN ssz ON ssz.doc_id = sint.sid
+                   WHERE c * 1.0 / (bsz.sz + ssz.sz - c) >= 0.85),
+          s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM ndst)),
+          bemb AS (
+            SELECT d.doc_id + 5000000 AS vid,
+                   list_concat([(e.embedding[1] + 0.05::FLOAT)::FLOAT], e.embedding[2:]) AS embedding
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id - 200
+            WHERE d.doc_id BETWEEN 260 AND 279
+            UNION ALL
+            SELECT b.doc_id AS vid, e.embedding
+            FROM batch b JOIN embeddings e ON e.vec_id = 300 + (b.doc_id % 50)
+            WHERE b.doc_id NOT BETWEEN 5000260 AND 5000279),
+          edup AS (SELECT DISTINCT s2.doc_id FROM s2
+                   JOIN bemb ON bemb.vid = s2.doc_id
+                   JOIN embeddings st ON st.vec_id < 150
+                     AND list_cosine_similarity(bemb.embedding::DOUBLE[], st.embedding::DOUBLE[]) >= 0.95),
+          s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM edup)),
+          toks AS (SELECT doc_id, $WORDS AS w FROM s3),
+          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle FROM toks),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          pairs AS (SELECT doc_a, doc_b FROM inter
+                    JOIN sizes sa ON sa.doc_id = doc_a
+                    JOIN sizes sb ON sb.doc_id = doc_b
+                    WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.85),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+          reach(id, label) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+          cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
+          rn AS (SELECT s3.doc_id,
+                   row_number() OVER (PARTITION BY cl.cluster_id
+                     ORDER BY len(s3.text) DESC, s3.doc_id) AS r
+                 FROM s3 JOIN cl USING (doc_id)),
+          nd AS (SELECT doc_id FROM rn WHERE r > 1),
+          s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+          lowq AS (SELECT doc_id FROM s4 WHERE len($WORDS) < 16),
+          s5 AS (SELECT * FROM s4 WHERE len($WORDS) >= 16),
+          kept AS (SELECT doc_id,
+                     CASE WHEN source IS NULL THEN NULL
+                          WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT < 3221225472 THEN 'train'
+                          WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT < 3758096384 THEN 'val'
+                          ELSE 'test' END AS split,
+                     ${scrubSql("text")} AS text
+                   FROM s5)
+          SELECT doc_id, 'exact_dup' AS status, NULL AS split, NULL AS text FROM ex
+          UNION ALL SELECT doc_id, 'near_dup', NULL, NULL FROM ndst
+          UNION ALL SELECT doc_id, 'emb_dup', NULL, NULL FROM edup
+          UNION ALL SELECT doc_id, 'near_dup', NULL, NULL FROM nd
+          UNION ALL SELECT doc_id, 'low_quality', NULL, NULL FROM lowq
+          UNION ALL SELECT doc_id, 'kept', split, text FROM kept""",
+
+    // char-granularity ExactSubstr restated per-position: every 25-char
+    // window occurring > once anywhere marks its 25 positions covered;
+    // the output is the uncovered characters in order
+    "q115_char_dedup" ->
+      """WITH docs AS (SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' (c) 2026 Example Corp All rights reserved worldwide'
+                    ELSE text END AS text
+             FROM documents WHERE doc_id < 40),
+          g AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(text) - 24),
+                    i -> {'pos': i, 'gram': substr(text, i, 25)})) AS u
+                FROM docs WHERE len(text) >= 25),
+          g2 AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g),
+          dup AS (SELECT gram FROM g2 GROUP BY 1 HAVING count(*) > 1),
+          cov AS (SELECT DISTINCT doc_id, p FROM (
+                    SELECT g2.doc_id, unnest(generate_series(pos, pos + 24)) AS p
+                    FROM g2 JOIN dup USING (gram))),
+          ch AS (SELECT doc_id, unnest(generate_series(1, len(text))) AS i, text FROM docs),
+          keptc AS (SELECT ch.doc_id, ch.i, substr(ch.text, ch.i::INT, 1) AS c
+                    FROM ch LEFT JOIN cov ON cov.doc_id = ch.doc_id AND cov.p = ch.i
+                    WHERE cov.doc_id IS NULL),
+          agg AS (SELECT doc_id, string_agg(c, '' ORDER BY i) AS text_deduped
+                  FROM keptc GROUP BY 1)
+          SELECT d.doc_id, coalesce(a.text_deduped, '') AS text_deduped,
+                 len(d.text)::BIGINT AS n_chars,
+                 (len(d.text) - len(coalesce(a.text_deduped, '')))::BIGINT AS n_removed
+          FROM docs d LEFT JOIN agg a USING (doc_id)"""
   )
 
   /** the q106/q107 encode expression over a word column `x`: codepoint

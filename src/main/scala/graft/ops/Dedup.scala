@@ -710,6 +710,67 @@ object Dedup {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Exact-substring dedup at CHARACTER granularity — the other half of
+    * Lee et al. (2022)'s ExactSubstr next to [[removeDuplicatedNgrams]]'s
+    * word-n-gram approximation: every character covered by a length-`l`
+    * character window that occurs MORE THAN ONCE anywhere in the corpus
+    * (across documents or within one) is removed, so verbatim licenses,
+    * boilerplate and quoted passages dedup exactly even when the repeat
+    * starts or ends mid-word (a token-granularity pass cannot see a
+    * repeat that crosses token boundaries). Deterministic function of the
+    * corpus; a doc whose text is entirely covered comes back empty; docs
+    * shorter than `l` are untouchable by construction and come back
+    * verbatim.
+    *
+    * Scale shape (the positioned-hash aggregation, NOT a suffix array —
+    * suffix arrays don't distribute and Lee et al. build theirs on one
+    * machine): window hashing is ONE O(n) codegen'd pass per doc
+    * ([[graft.spark.TextFunctions.charGramHashes]], rolling Rabin-Karp —
+    * never O(n*l) re-hashing and never the l-fold blowup of shuffling the
+    * substrings themselves; the groupBy key is an 8-byte hash per char
+    * position, ~12 bytes/char with the doc id through the one Exchange,
+    * map-side combine folding in-partition repeats first). Duplicated
+    * window starts come back per doc through a sort-merge join sharing
+    * the hash key; the per-doc `collect_list(pos)` buffer is bounded by
+    * the DOCUMENT's own length — per-doc state, same bound as the text
+    * column itself — and the splice
+    * ([[graft.spark.TextFunctions.spliceCovered]]) is one output-sized
+    * pass merging overlapping windows with a forward cursor. No windows
+    * over unbounded keys, no driver state. Hash collisions spuriously
+    * remove a window at birthday probability (~n^2/2^65 — a handful of
+    * runs at 10^12 positions), the accepted trade of every distributed
+    * ExactSubstr implementation.
+    *
+    * Output: (doc_id, text_deduped, n_chars, n_removed) — every input doc
+    * exactly once; NULL text ~ empty (0 chars, nothing removed).
+    */
+  def removeDuplicatedCharRuns(docs: DataFrame, l: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(l >= 2, s"window length must be >= 2, got $l")
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("_t"))
+    // (doc_id, 1-based window start, rolling hash); docs shorter than l
+    // emit no windows (the kernel returns an empty array — no ANSI
+    // sequence pitfalls to guard here)
+    val occ = base.filter(length(col("_t")) >= l)
+      .select(col("doc_id"),
+        posexplode(graft.spark.TextFunctions.charGramHashes(col("_t"), l))
+          .as(Seq("i", "h")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"), col("h"))
+    val dup = occ.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("h")
+    val covered = occ.join(dup, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    base.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("starts").isNull, coalesce(col("_t"), lit("")))
+          .otherwise(graft.spark.TextFunctions.spliceCovered(
+            col("_t"), col("starts"), l)).as("text_deduped"),
+        coalesce(length(col("_t")), lit(0)).cast("long").as("n_chars"))
+      .withColumn("n_removed",
+        (col("n_chars") - length(col("text_deduped"))).cast("long"))
+  }
+
   /** Duplicate-cluster resolution policy: turn [[duplicateClusters]]
     * output into a per-document keep/drop decision. Within each cluster
     * exactly one document survives — the one with the highest `scoreCol`

@@ -79,6 +79,78 @@ object TextFunctions {
     out
   }
 
+  /** Rolling (Rabin-Karp) hashes of every length-`l` character window of
+    * the text, stride 1 — ONE O(n) pass (each window hash is derived from
+    * its predecessor in O(1): subtract the leaving char's `base^(l-1)`
+    * term, multiply, add the entering char), not O(n*l) re-hashing. This
+    * is what makes exact-substring dedup shuffle-affordable: the groupBy
+    * key is an 8-byte hash per character position instead of the l-char
+    * substring itself (l x corpus bytes through the Exchange).
+    *
+    * Wrap-around polynomial in 2^64, odd base: collisions are possible in
+    * principle (two distinct windows sharing a hash would spuriously mark
+    * both duplicated) but are birthday-bounded at ~n^2/2^65 — at 10^12
+    * gram positions that is a handful of 20-char runs across the whole
+    * corpus, the accepted trade of every hash-based ExactSubstr
+    * implementation (vs Lee et al. 2022's suffix array, which does not
+    * distribute). Positions are UTF-16 code units (== characters on the
+    * BMP); the consumer splices with the SAME units so the contract is
+    * self-consistent. Text shorter than `l` has no windows: empty array.
+    */
+  def charGramHashes(s: UTF8String, l: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val text = s.toString
+    val n = text.length
+    if (n < l)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val B = 0x100000001b3L // FNV-1a prime, odd -> invertible mod 2^64
+    var pw = 1L
+    var i = 0
+    while (i < l - 1) { pw *= B; i += 1 }
+    val out = new Array[Long](n - l + 1)
+    var h = 0L
+    i = 0
+    while (i < l) { h = h * B + text.charAt(i); i += 1 }
+    out(0) = h
+    i = l
+    while (i < n) {
+      h = (h - text.charAt(i - l) * pw) * B + text.charAt(i)
+      out(i - l + 1) = h
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Remove every length-`l` window starting at the given 1-based
+    * positions from the text — the action half of char-granularity
+    * exact-substring dedup ([[graft.ops.Dedup.removeDuplicatedCharRuns]]).
+    * `starts` must be ascending (the caller sort_array's the aggregated
+    * positions); overlapping windows merge naturally (the cursor only
+    * moves forward). One output-sized StringBuilder, no per-char rows.
+    */
+  def spliceCovered(s: UTF8String, starts: org.apache.spark.sql.catalyst.util.ArrayData,
+      l: Int): UTF8String = {
+    val text = s.toString
+    val n = text.length
+    val m = starts.numElements()
+    val sb = new java.lang.StringBuilder(n)
+    var cur = 0 // next uncopied 0-based index
+    var k = 0
+    while (k < m) {
+      val st0 = (starts.getLong(k) - 1).toInt
+      if (st0 > cur) {
+        val upto = math.min(st0, n)
+        sb.append(text, cur, upto)
+        cur = upto
+      }
+      val end = st0 + l
+      if (end > cur) cur = math.min(end, n)
+      k += 1
+    }
+    if (cur < n) sb.append(text, cur, n)
+    UTF8String.fromString(sb.toString)
+  }
+
   /** arity check in the builder: a wrong-arity SQL call gets a clean
     * AnalysisException instead of a crash or silently-dropped arguments.
     * Shared by BOTH registration paths (createOrReplaceTempFunction and
@@ -114,6 +186,10 @@ object TextFunctions {
   def cleanText(c: Column): Column = column(CleanTextExpr(expression(c)))
   def convertEntities(c: Column): Column = column(ConvertEntitiesExpr(expression(c)))
   def simhash60(c: Column): Column = column(SimHash60Expr(expression(c)))
+  def charGramHashes(c: Column, l: Int): Column =
+    column(CharGramHashesExpr(expression(c), l))
+  def spliceCovered(text: Column, starts: Column, l: Int): Column =
+    column(SpliceCoveredExpr(expression(text), expression(starts), l))
 }
 
 /** clean_text(s): translate ∘ NFKC ∘ trimwords (adsft/utils.py:263-284). */
@@ -153,6 +229,44 @@ case class SimHash60Expr(child: Expression) extends UnaryExpression with GraftSt
     defineCodeGen(ctx, ev, c => s"graft.spark.TextFunctions.simhash60($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** char_gram_hashes(s) with window length `l` baked in at plan time:
+  * array<long> of rolling hashes, one per stride-1 window
+  * ([[TextFunctions.charGramHashes]] — the O(n) Rabin-Karp kernel).
+  */
+case class CharGramHashesExpr(child: Expression, l: Int)
+    extends UnaryExpression with GraftStringUnaryInput {
+  require(l >= 1, s"window length must be >= 1, got $l")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextFunctions.charGramHashes(input.asInstanceOf[UTF8String], l)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextFunctions.charGramHashes($c, $l)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** splice_covered(text, sorted 1-based starts) with window length `l`
+  * baked in: the text with every covered window removed
+  * ([[TextFunctions.spliceCovered]]).
+  */
+case class SpliceCoveredExpr(left: Expression, right: Expression, l: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.GraftStringLongArrayBinaryInput {
+  require(l >= 1, s"window length must be >= 1, got $l")
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(t: Any, starts: Any): Any =
+    TextFunctions.spliceCovered(t.asInstanceOf[UTF8String],
+      starts.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], l)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, s) => s"graft.spark.TextFunctions.spliceCovered($t, $s, $l)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Session-extension entry point: `--conf spark.sql.extensions=

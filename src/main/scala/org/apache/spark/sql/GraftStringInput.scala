@@ -19,3 +19,10 @@ trait GraftFloatArrayBinaryInput extends ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
 }
+
+/** And for the char-run splice kernel: (text, sorted positions). */
+trait GraftStringLongArrayBinaryInput extends ExpectsInputTypes {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, ArrayType(LongType))
+}

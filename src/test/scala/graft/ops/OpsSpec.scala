@@ -2080,6 +2080,94 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.minhashLsh(docs).count() == 64L * 63 / 2)
   }
 
+  test("removeDuplicatedCharRuns: cross-token boilerplate excised exactly; self-repeat; short/null intact") {
+    import spark.implicits._
+    val boiler = "XCOPYRIGHT-2026-CORPX" // 21 chars, repeated across docs 1 and 2
+    val docs = Seq(
+      (1L, "unique-one " + boiler + " tail-one"),
+      (2L, "second-prefix " + boiler + " second-tail"),
+      (3L, "totally unrelated text here"),
+      (4L, "ABCDEFGHIJABCDEFGHIJ"), // within-doc period-10 self-repeat
+      (5L, "tiny"),                 // shorter than l: untouchable
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedCharRuns(docs, l = 10)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // the repeated run is boiler PLUS its flanking spaces (both docs have
+    // space-boiler-space, so windows straddling onto either space repeat
+    // too — exactly the mid-token-boundary sensitivity this operator adds
+    // over the word-n-gram pass); the distinct prefix/tail chars survive
+    assert(out(1L) == ((1L, "unique-onetail-one", 41L, 23L)), out(1L).toString)
+    assert(out(2L) == ((2L, "second-prefixsecond-tail", 47L, 23L)), out(2L).toString)
+    assert(out(3L) == ((3L, "totally unrelated text here", 27L, 0L)))
+    // window 1 == window 11 -> covered [1,10] + [11,20] = the whole doc
+    assert(out(4L) == ((4L, "", 20L, 20L)))
+    assert(out(5L) == ((5L, "tiny", 4L, 0L)))
+    assert(out(6L) == ((6L, "", 0L, 0L)))
+  }
+
+  test("curateIncremental: store-first fates; store append is replay-idempotent") {
+    import spark.implicits._
+    def words(i: Int): String = (0 until 20).map(j => s"w${i}_$j").mkString(" ")
+    def oneHot(i: Int, sign: Float): Seq[Float] =
+      Seq.tabulate(8)(d => if (d == i % 8) sign else 0f)
+
+    // standing corpus: 10 long unique-vocabulary docs + their stores
+    val store = (0 until 10).map(i => (i.toLong, words(i))).toDF("doc_id", "text")
+    val hashStore = store.select(md5(Dedup.normalizeForDedup(col("text"))).as("text_hash"))
+    val sigStore = Dedup.signBands(store)
+    val embStore = (0 until 10).map(i => (i.toLong, oneHot(i, 1f))).toDF("vec_id", "embedding")
+    val embSigStore = Dedup.signEmbeddings(embStore)
+
+    // today's batch: one doc per fate
+    val batch = Seq(
+      (100L, words(0)),                                        // exact store copy
+      (101L, words(1).toUpperCase + "!!!"),                    // normalized store copy
+      (102L, words(50)), (103L, words(50)),                    // within-batch mirror: 102 wins
+      (104L, words(2).split(" ").dropRight(1).mkString(" ")),  // near-dup of store 2
+      (105L, words(51)),                                       // family winner (longer)
+      (106L, words(51).split(" ").dropRight(1).mkString(" ")), // within-batch near-dup loser
+      (107L, "tiny text"),                                     // low quality
+      (108L, null.asInstanceOf[String]),                       // empty
+      (109L, "contact bob@example.com " + words(52)),          // kept, scrubbed
+      (110L, words(53))                                        // emb-dup of store vec 5
+    ).toDF("doc_id", "text").withColumn("source", concat(lit("src"), col("doc_id") % 3))
+    val batchEmb = Seq(110L -> Seq(0.05f, 0f, 0f, 0f, 0f, 1f, 0f, 0f))
+      .toDF("vec_id", "embedding")
+      .unionAll((100L to 109L).map(i => (i, oneHot(i.toInt, -1f))).toDF("vec_id", "embedding"))
+
+    val r1 = Curate.curateIncremental(batch, hashStore, sigStore, store,
+      expectedBatchItems = 16, batchEmb = Some(batchEmb),
+      embSigStore = Some(embSigStore), embStoreVecs = Some(embStore))
+    val fates1 = r1.docs.select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(fates1 == Map(
+      100L -> "exact_dup", 101L -> "exact_dup", 102L -> "kept",
+      103L -> "exact_dup", 104L -> "near_dup", 105L -> "kept",
+      106L -> "near_dup", 107L -> "low_quality", 108L -> "empty",
+      109L -> "kept", 110L -> "emb_dup"), fates1.toString)
+    val kept109 = r1.docs.filter(col("doc_id") === 109L).select("text").as[String].head()
+    assert(kept109.startsWith("contact <EMAIL> "), kept109)
+    assert(r1.docs.filter(col("status") === "kept").filter(col("split").isNull).isEmpty)
+    assert(r1.textDelta.select("doc_id").as[Long].collect().toSet == Set(102L, 105L, 109L))
+    assert(r1.hashDelta.count() == 3 && r1.embVecDelta.get.count() == 3)
+
+    // append the deltas and REPLAY the identical batch: every former
+    // keeper is now an exact store hit, every other fate is unchanged
+    // (106 flips from within-batch to vs-store near-dup — same status),
+    // and nothing new enters the store
+    val r2 = Curate.curateIncremental(batch,
+      hashStore.unionAll(r1.hashDelta), sigStore.unionAll(r1.sigDelta),
+      store.unionAll(r1.textDelta),
+      expectedBatchItems = 16, batchEmb = Some(batchEmb),
+      embSigStore = Some(embSigStore.unionAll(r1.embSigDelta.get)),
+      embStoreVecs = Some(embStore.unionAll(r1.embVecDelta.get)))
+    val fates2 = r2.docs.select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(fates2 == fates1.map { case (id, st) =>
+      id -> (if (st == "kept") "exact_dup" else st) }, fates2.toString)
+    assert(r2.hashDelta.isEmpty && r2.sigDelta.isEmpty && r2.textDelta.isEmpty)
+    assert(r2.embSigDelta.get.isEmpty && r2.embVecDelta.get.isEmpty)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

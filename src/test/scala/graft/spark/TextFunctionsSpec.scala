@@ -97,4 +97,38 @@ class TextFunctionsSpec extends AnyFunSuite {
       df.selectExpr("cosine_sim(a)").collect()
     }
   }
+
+  test("charGramHashes: rolling hashes equal direct polynomial recompute; edge lengths") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val B = 0x100000001b3L
+    def direct(t: String, l: Int): Seq[Long] =
+      (0 to t.length - l).map { i =>
+        t.substring(i, i + l).foldLeft(0L)((h, c) => h * B + c)
+      }
+    val t = "hello world, hello world"
+    for (l <- Seq(2, 4, 10, t.length)) {
+      val arr = TextFunctions.charGramHashes(UTF8String.fromString(t), l)
+      assert(arr.toLongArray().toSeq == direct(t, l), s"l=$l")
+    }
+    // equal windows hash equal (the dedup contract): "hello world," at 0
+    // and 13-13... the repeated "hello world" at offsets 0 and 13
+    val h11 = TextFunctions.charGramHashes(UTF8String.fromString(t), 11).toLongArray()
+    assert(h11(0) == h11(13) && h11(1) != h11(2))
+    // shorter than l -> empty, never negative-size
+    assert(TextFunctions.charGramHashes(UTF8String.fromString("ab"), 3).numElements() == 0)
+  }
+
+  test("spliceCovered: gap copy, overlap merge, tail, clamp at end") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    def run(t: String, starts: Seq[Long], l: Int): String =
+      TextFunctions.spliceCovered(UTF8String.fromString(t),
+        UnsafeArrayData.fromPrimitiveArray(starts.toArray), l).toString
+    //         123456789012345
+    assert(run("abcdefghijklmno", Seq(3L), 4) == "abghijklmno")       // middle window
+    assert(run("abcdefghijklmno", Seq(3L, 5L), 4) == "abijklmno")     // overlap merges
+    assert(run("abcdefghijklmno", Seq(1L, 12L), 4) == "efghijk")      // head + clamped tail
+    assert(run("abcdefghijklmno", Seq.empty, 4) == "abcdefghijklmno") // nothing covered
+    assert(run("abcd", Seq(1L), 4) == "")                             // fully covered
+  }
 }
