@@ -208,15 +208,22 @@ object Curate {
       .join(surv1.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("exact_dup").as("status"))
 
-    // stage 3: near-dup against the standing MinHash store
+    // stage 3: near-dup against the standing MinHash store. The hit list
+    // is consumed by THREE downstream branches (the near_dup rows, the
+    // surv2 join and the surv2 anti-join) — without the lazy checkpoint
+    // each branch would re-run the whole store-signature scan + candidate
+    // verify; pinned, the store is scanned once per stage and the pin is
+    // candidate-sized (bounded by batch x bands x maxBucket)
     val storeHits = Dedup.incrementalMinhash(surv1, sigStore, storeTexts,
         n, bands, rowsPerBand, tau, maxBucket)
       .select("doc_id")
+      .localCheckpoint(eager = false)
     val nearDups = surv1.join(storeHits, Seq("doc_id"))
       .select(col("doc_id"), lit("near_dup").as("status"))
     val surv2 = surv1.join(storeHits, Seq("doc_id"), "left_anti")
 
-    // stage 4: semantic near-dup against the standing embedding store
+    // stage 4: semantic near-dup against the standing embedding store —
+    // same two-consumer shape, same candidate-sized pin
     val (embDups, surv3) =
       if (!embStage) (None, surv2)
       else {
@@ -227,6 +234,7 @@ object Curate {
             embSigStore.get, embStoreVecs.get, embTau, tables, planesPerTable,
             maxBucket)
           .select(col("vec_id").as("doc_id"))
+          .localCheckpoint(eager = false)
         (Some(surv2.join(hits, Seq("doc_id"))
             .select(col("doc_id"), lit("emb_dup").as("status"))),
           surv2.join(hits, Seq("doc_id"), "left_anti"))
@@ -236,11 +244,17 @@ object Curate {
     val curated = curate(
       surv3.withColumnRenamed("_coh", coherenceCol), splits, tau, coherenceCol)
 
+    // lazy pin on the full fate table: it has up to six consumers (the
+    // caller's action on `docs` plus the five delta projections below) and
+    // the post-checkpoint curate subtree (pair mining, resolution, scrub)
+    // would otherwise re-execute per consumer; materialized it is
+    // batch-sized — the same order as the stage-1 pin
     val nullS = lit(null).cast("string")
     val docs = (Seq(empties, exactDups, nearDups) ++ embDups.toSeq)
       .map(_.withColumn("split", nullS).withColumn("text", nullS))
       .reduce(_ unionByName _)
       .unionByName(curated)
+      .localCheckpoint(eager = false)
 
     // store deltas: the keepers' ORIGINAL text, fingerprinted exactly the
     // way the stores expect to be probed next batch
