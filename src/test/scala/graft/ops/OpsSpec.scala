@@ -2168,6 +2168,72 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.embSigDelta.get.isEmpty && r2.embVecDelta.get.isEmpty)
   }
 
+  test("daily ingest e2e: curateIncremental + SnapshotTable stores + maintain across three days") {
+    import spark.implicits._
+    import graft.spark.{Pipeline, SnapshotTable}
+    def words(i: Int): String = (0 until 20).map(j => s"d${i}_$j").mkString(" ")
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val (hashDir, sigDir, textDir) = (s"$root/hash", s"$root/sig", s"$root/text")
+    def stores() = (
+      SnapshotTable.read(spark, hashDir)
+        .getOrElse(Seq.empty[String].toDF("text_hash")),
+      SnapshotTable.read(spark, sigDir)
+        .getOrElse(Seq.empty[(Long, Long)].toDF("doc_id", "bucket")),
+      SnapshotTable.read(spark, textDir)
+        .getOrElse(Seq.empty[(Long, String)].toDF("doc_id", "text")))
+    def ingest(batch: org.apache.spark.sql.DataFrame) = {
+      val (h, sg, tx) = stores()
+      val r = Curate.curateIncremental(batch, h, sg, tx, expectedBatchItems = 16)
+      SnapshotTable.commit(r.hashDelta, hashDir)
+      SnapshotTable.commit(r.sigDelta, sigDir)
+      SnapshotTable.commit(r.textDelta, textDir)
+      r.docs.select("doc_id", "status").as[(Long, String)].collect().toMap
+    }
+
+    // day 1 against EMPTY stores (the very first crawl needs no bootstrap)
+    val day1 = Seq(
+      (1L, words(1)), (2L, words(2)), (3L, words(3)), (4L, words(4)),
+      (5L, words(1)),   // within-batch exact dup of 1
+      (6L, "too short") // low quality, never enters the store
+    ).toDF("doc_id", "text").withColumn("source", concat(lit("s"), col("doc_id") % 2))
+    assert(ingest(day1) == Map(1L -> "kept", 2L -> "kept", 3L -> "kept",
+      4L -> "kept", 5L -> "exact_dup", 6L -> "low_quality"))
+    assert(SnapshotTable.committedRows(spark, hashDir) == 4)
+
+    // day 2: yesterday's keepers police today's crawl
+    val day2 = Seq(
+      (11L, words(2)),                                       // exact dup vs store
+      (12L, words(3).split(" ").dropRight(1).mkString(" ")), // near dup vs store
+      (13L, words(13)),                                      // novel -> kept
+      (14L, "too short")                                     // same fate as day 1, still not stored
+    ).toDF("doc_id", "text").withColumn("source", concat(lit("s"), col("doc_id") % 2))
+    assert(ingest(day2) == Map(11L -> "exact_dup", 12L -> "near_dup",
+      13L -> "kept", 14L -> "low_quality"))
+    assert(SnapshotTable.committedRows(spark, hashDir) == 5)
+    assert(SnapshotTable.read(spark, sigDir).get.count() == 5 * 16) // 16 bands per keeper
+
+    // housekeeping between runs: compact the one-row-per-key stores (hash
+    // keyed by text_hash, texts by doc_id) and vacuum the append-only band
+    // store (its live manifest references every file -> no data loss)
+    val before = stores() match { case (h, sg, tx) =>
+      (h.as[String].collect().toSet,
+        sg.as[(Long, Long)].collect().toSet,
+        tx.as[(Long, String)].collect().toSet) }
+    Pipeline.maintain(spark, hashDir, keyCol = "text_hash", olderThanMs = 0)
+    Pipeline.maintain(spark, textDir, olderThanMs = 0)
+    SnapshotTable.vacuum(spark, sigDir, keepLast = 1, olderThanMs = 0)
+    assert(stores() match { case (h, sg, tx) =>
+      h.as[String].collect().toSet == before._1 &&
+        sg.as[(Long, Long)].collect().toSet == before._2 &&
+        tx.as[(Long, String)].collect().toSet == before._3 })
+
+    // day 3 = day 2 replayed against the maintained stores: every former
+    // keeper is now a store hit, nothing new enters any store
+    assert(ingest(day2) == Map(11L -> "exact_dup", 12L -> "near_dup",
+      13L -> "exact_dup", 14L -> "low_quality"))
+    assert(SnapshotTable.committedRows(spark, hashDir) == 5)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
