@@ -1219,6 +1219,26 @@ object SparkEntry {
         embSigStore = Some(embSigStore), embStoreVecs = Some(embStore)).docs
     }),
 
+    // incremental SimHash vs a standing signature store: exact copies of
+    // store docs (hamming 0 by construction), drop-1-word mutations
+    // (matched wherever the deterministic simhash lands within 3 bits),
+    // novel docs — min-store-id + closest-distance per matched batch doc;
+    // the store enters as its precomputed (doc_id, simhash) table
+    "q116_incremental_simhash" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val w = ops.TextAnalysis.words(col("text"))
+      val store = docs.filter(col("doc_id") < 150)
+      val batch = docs.filter(col("doc_id").between(100, 119))
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .unionAll(docs.filter(col("doc_id") < 30)
+          .withColumn("text", concat_ws(" ", slice(w, lit(1), size(w) - 1)))
+          .withColumn("doc_id", col("doc_id") + 2000000L))
+        .unionAll(docs.filter(col("doc_id").between(300, 349))
+          .withColumn("doc_id", col("doc_id") + 3000000L))
+      Dedup.incrementalSimhash(batch, Dedup.simhash(store))
+        .select("doc_id", "dup_of", "min_hamming", "truncated")
+    }),
+
     // char-granularity ExactSubstr dedup: a boilerplate license line
     // planted on every %3 doc repeats corpus-wide at stride 1, so the
     // covered union (the passage plus any repeated flank) is excised
@@ -3135,6 +3155,48 @@ object SparkEntry {
           UNION ALL SELECT doc_id, 'low_quality', NULL, NULL FROM lowq
           UNION ALL SELECT doc_id, 'kept', split, text FROM kept""",
 
+    // the incremental simhash chain restated: store bands capped at 64
+    // per bucket (row_number, flag exact), one bucket join, exact
+    // bit_count verify, min-store-id / min-hamming / OR-truncated per
+    // matched batch doc — q111's capped structure on the batch-vs-store
+    // shape
+    "q116_incremental_simhash" ->
+      s"""WITH st AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+          b0 AS (SELECT doc_id, $WORDS AS w FROM documents WHERE doc_id < 30),
+          batch AS (
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            WHERE doc_id BETWEEN 100 AND 119
+            UNION ALL SELECT doc_id + 2000000, array_to_string(w[1:len(w)-1], ' ') FROM b0
+            UNION ALL SELECT doc_id + 3000000, text FROM documents
+            WHERE doc_id BETWEEN 300 AND 349),
+          ssims AS (${simhashOver("st")}),
+          bsims AS (${simhashOver("batch")}),
+          sbands AS (SELECT doc_id,
+                       b * (1::BIGINT << 60) + ((simhash >> (15 * b)) & 32767) AS bucket
+                     FROM ssims, (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+          bbands AS (SELECT doc_id,
+                       b * (1::BIGINT << 60) + ((simhash >> (15 * b)) & 32767) AS bucket
+                     FROM bsims, (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+          r AS (SELECT doc_id, bucket,
+                  row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+                FROM sbands),
+          tr AS (SELECT bucket, (CASE WHEN max(rn) > 64 THEN 1 ELSE 0 END)::INT AS tflag
+                 FROM r GROUP BY bucket),
+          cand AS (SELECT b.doc_id AS doc_id, s.doc_id AS store_id,
+                     max(t.tflag)::INT AS tfl
+                   FROM bbands b
+                   JOIN (SELECT doc_id, bucket FROM r WHERE rn <= 64) s USING (bucket)
+                   JOIN tr t USING (bucket) GROUP BY 1, 2),
+          ver AS (SELECT c.doc_id, c.store_id,
+                    bit_count(xor(bs.simhash, ss.simhash))::INT AS h, c.tfl
+                  FROM cand c
+                  JOIN bsims bs ON bs.doc_id = c.doc_id
+                  JOIN ssims ss ON ss.doc_id = c.store_id
+                  WHERE bit_count(xor(bs.simhash, ss.simhash)) <= 3)
+          SELECT doc_id, min(store_id) AS dup_of, min(h) AS min_hamming,
+                 max(tfl)::INT AS truncated
+          FROM ver GROUP BY doc_id""",
+
     // char-granularity ExactSubstr restated per-position: every 25-char
     // window occurring > once anywhere marks its 25 positions covered;
     // the output is the uncovered characters in order
@@ -3231,13 +3293,19 @@ object SparkEntry {
   private def lshAnnSql: String = annTop3Sql("q.vec_id < 20")
 
   /** simhash oracle: identical md5-derived 60-bit word hashes, bit votes. */
-  private def simhashSql: String = {
+  private def simhashSql: String = simhashOver("documents")
+
+  /** the q17 simhash construction over any relation with (doc_id, text) —
+    * docs with zero words drop out of the unnest, mirroring the Spark
+    * side's words>0 filter on every consumer
+    */
+  private def simhashOver(rel: String): String = {
     val h = "('0x' || substr(md5(w), 1, 15))::BIGINT"
     val bitSums = (0 until 60).map(j =>
       s"CASE WHEN sum(CASE WHEN ($h >> $j) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN (1::BIGINT << $j) ELSE 0 END")
       .mkString(" + ")
     s"""SELECT doc_id, ($bitSums) AS simhash
-        FROM (SELECT doc_id, unnest($WORDS) AS w FROM documents) t
+        FROM (SELECT doc_id, unnest($WORDS) AS w FROM $rel) t
         GROUP BY doc_id"""
   }
 }

@@ -1073,6 +1073,66 @@ object Dedup {
     * OOMing an executor; the hamming verify runs inline over each capped
     * bucket, and one final groupBy dedups pairs surfaced by several bands.
     */
+  /** Incremental SimHash near-dup — [[simhashNearDup]]'s batch-vs-store
+    * form, completing the incremental family ([[incrementalExact]] /
+    * [[incrementalMinhash]] / [[incrementalEmbeddingNearDup]] / this):
+    * flag batch documents within `maxHamming` bits of ANY document in a
+    * standing simhash store. The store enters as its PRECOMPUTED
+    * `(doc_id, simhash)` table — one [[simhash]] evaluation when each doc
+    * was ingested, appended per surviving batch, never re-hashed here.
+    *
+    * Same 4x15-bit banding and pigeonhole recall as [[simhashNearDup]]
+    * (<= 3 flips cannot touch all 4 bands, so band-equality candidates
+    * are exhaustive at maxHamming <= 3); the store side is capped at
+    * `maxBucket` ids per bucket through [[cappedStoreCandidates]] (the
+    * shared row_number bound — a degenerate hot band bounds the join
+    * fan-out with the overflow COUNTED into the flag, never silent).
+    * Batch docs with no words emit no signature (never candidates), the
+    * [[simhashNearDup]] contract.
+    *
+    * Plan: one codegen'd simhash pass over the batch feeds the band
+    * shuffle; candidates come from ONE bucket equi-join against the
+    * capped store table; the verify joins each side's signature back on
+    * its UNIQUE id (candidate-sized, no skew) and runs inline
+    * `bit_count(xor)`. The batch is signed twice (once per consumer — an
+    * O(batch) map each, cheaper at any scale than pinning a batch-sized
+    * signature table) and the store signature TABLE is scanned twice
+    * (banding + the verify lookup), never the store text.
+    *
+    * Output: (doc_id, dup_of, min_hamming, truncated), matched batch
+    * docs only — dup_of = min matching store id, min_hamming = the
+    * closest match's distance, truncated = OR over the buckets the
+    * doc's candidates met in.
+    */
+  def incrementalSimhash(batch: DataFrame, storeSims: DataFrame,
+      maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band LSH guarantees recall only for maxHamming <= 3")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val bands = broadcast((0 until 4).toDF("b"))
+    def banded(sims: DataFrame): DataFrame = sims
+      .select(col("doc_id").cast("long").as("doc_id"), col("simhash"))
+      .crossJoin(bands)
+      .select(col("doc_id"),
+        (col("b").cast("long") * lit(1L << 60) +
+          call_function("shiftright", col("simhash"), (col("b") * 15).cast("int"))
+            .bitwiseAND(lit(32767L))).as("bucket"))
+    val batchSims = simhash(
+        batch.filter(coalesce(size(TextAnalysis.words(col("text"))), lit(0)) > 0))
+      .select(col("doc_id").cast("long").as("doc_id"), col("simhash"))
+    cappedStoreCandidates(banded(batchSims), banded(storeSims), "doc_id", maxBucket)
+      .join(batchSims.withColumnRenamed("simhash", "_bs"), "doc_id")
+      .join(storeSims.select(col("doc_id").cast("long").as("store_id"),
+        col("simhash").as("_ss")), "store_id")
+      .withColumn("hamming",
+        call_function("bit_count", col("_bs").bitwiseXOR(col("_ss"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("doc_id")
+      .agg(min("store_id").as("dup_of"), min("hamming").as("min_hamming"),
+        max("_trunc").as("truncated"))
+  }
+
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 64): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,

@@ -2168,6 +2168,32 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.embSigDelta.get.isEmpty && r2.embVecDelta.get.isEmpty)
   }
 
+  test("incrementalSimhash: exact copy at hamming 0; mutation matches iff within 3 bits; novel absent") {
+    import spark.implicits._
+    val store = (0 until 20).map(i =>
+      (i.toLong, (0 until 40).map(j => s"s${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val storeSims = Dedup.simhash(store).select("doc_id", "simhash")
+    val mutated = store.filter(col("doc_id") === 5L)
+      .select(lit(101L).as("doc_id"),
+        concat(col("text"), lit(" extraword")).as("text"))
+    val batch = store.filter(col("doc_id") === 3L)
+      .select(lit(100L).as("doc_id"), col("text"))     // exact copy of store 3
+      .unionAll(mutated)                               // one-word append to store 5
+      .unionAll(Seq((102L, (0 until 40).map(j => s"novel_$j").mkString(" ")))
+        .toDF("doc_id", "text"))                       // unrelated
+    val out = Dedup.incrementalSimhash(batch, storeSims)
+      .as[(Long, Long, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(100L) == ((100L, 3L, 0, 0)))
+    // the mutation's distance is deterministic: compute it independently
+    // and assert presence/absence accordingly (pigeonhole recall is exact)
+    val sims = Dedup.simhash(batch.unionAll(store))
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    val d = java.lang.Long.bitCount(sims(101L) ^ sims(5L))
+    if (d <= 3) assert(out(101L) == ((101L, 5L, d, 0)), s"d=$d ${out.get(101L)}")
+    else assert(!out.contains(101L), s"d=$d")
+    assert(!out.contains(102L))
+  }
+
   test("daily ingest e2e: curateIncremental + SnapshotTable stores + maintain across three days") {
     import spark.implicits._
     import graft.spark.{Pipeline, SnapshotTable}
