@@ -104,21 +104,68 @@ object SnapshotTable {
   /** Optimistic-concurrency pointer swap: refuses to commit when `_current`
     * no longer names `expected` (another writer advanced the table since
     * this commit read its base state — appending anyway would silently drop
-    * that writer's files from the new manifest). This closes the detection
-    * half of multi-writer safety; the residual check-to-rename window is the
-    * documented filesystem limit (Iceberg proper CASes the pointer in a
-    * catalog for a true atomic compare-and-swap).
+    * that writer's files from the new manifest).
+    *
+    * The check-then-write runs under an exclusive `_commit.lock` acquired
+    * by create-no-overwrite — atomic on HDFS (namenode-side EXCLUSIVE
+    * create) and on local filesystems (`File.createNewFile`, an atomic
+    * POSIX O_CREAT|O_EXCL), so for cooperating writers the former
+    * check-to-rename race window is CLOSED, not just detected. A lock
+    * left by a crashed writer is broken by age (`lockTimeoutMs`, default
+    * 60 s — far above any pointer-swap duration, which is metadata-only);
+    * acquisition gives up with a clear error after the same bound rather
+    * than spinning forever. Object stores without atomic create (classic
+    * S3) fall back to detection-only semantics — there Iceberg's answer
+    * (a catalog CAS) is the production one, as before.
     */
   private[spark] def swapPointer(hfs: FileSystem, tableDir: String,
-      expected: Option[String], newName: String): Unit = {
-    val now = currentPointerName(hfs, tableDir)
-    if (now != expected)
-      throw new java.util.ConcurrentModificationException(
-        s"snapshot commit conflict on $tableDir: expected _current=" +
-          s"${expected.getOrElse("<none>")} but found ${now.getOrElse("<none>")}; " +
-          "another writer committed concurrently — re-run to retry on the new base")
-    writeFileAtomic(hfs, new Path(s"$tableDir/_current"), newName + "\n")
+      expected: Option[String], newName: String,
+      lockTimeoutMs: Long = 60000L): Unit = {
+    val lock = new Path(s"$tableDir/_commit.lock")
+    val deadline = System.currentTimeMillis() + lockTimeoutMs
+    var held = false
+    while (!held) {
+      held = tryAcquireLock(hfs, lock)
+      if (!held) {
+        // break a stale lock by age; contenders then race on the atomic
+        // create again — exactly one wins
+        try {
+          val st = hfs.getFileStatus(lock)
+          if (System.currentTimeMillis() - st.getModificationTime > lockTimeoutMs)
+            hfs.delete(lock, false): Unit
+        } catch { case _: java.io.FileNotFoundException => () }
+        if (!held && System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"could not acquire commit lock $lock within ${lockTimeoutMs}ms; " +
+              "another writer is mid-commit or a stale lock is younger than the timeout")
+        if (!held) Thread.sleep(25)
+      }
+    }
+    try {
+      val now = currentPointerName(hfs, tableDir)
+      if (now != expected)
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot commit conflict on $tableDir: expected _current=" +
+            s"${expected.getOrElse("<none>")} but found ${now.getOrElse("<none>")}; " +
+            "another writer committed concurrently — re-run to retry on the new base")
+      writeFileAtomic(hfs, new Path(s"$tableDir/_current"), newName + "\n")
+    } finally hfs.delete(lock, false): Unit
   }
+
+  /** One atomic create-no-overwrite attempt; false when the lock exists.
+    * Local paths go through `File.createNewFile` (atomic O_CREAT|O_EXCL —
+    * Hadoop's RawLocalFileSystem.create is check-then-act and would race);
+    * everything else uses the filesystem's own exclusive create.
+    */
+  private def tryAcquireLock(hfs: FileSystem, lock: Path): Boolean =
+    if (hfs.getScheme == "file") {
+      val f = new java.io.File(lock.toUri.getPath)
+      f.getParentFile.mkdirs()
+      try f.createNewFile() catch { case _: java.io.IOException => false }
+    } else {
+      try { hfs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
 
   private def currentPointerName(hfs: FileSystem, tableDir: String): Option[String] = {
     val ptr = new Path(s"$tableDir/_current")

@@ -284,6 +284,43 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, table).get.count() == 2)
   }
 
+  test("commit lock: fresh foreign lock blocks with clear error; stale lock broken by age; lock always released") {
+    import spark.implicits._
+    val table = tmpTable()
+    SnapshotTable.commit(Seq(("a", 1)).toDF("doc_id", "v"), table)
+    val lockFile = new java.io.File(s"$table/_commit.lock")
+    // a normal commit never leaves its lock behind
+    assert(!lockFile.exists())
+    val hfs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = Some(scala.io.Source.fromFile(s"$table/_current").mkString.trim)
+
+    // another writer is mid-commit RIGHT NOW (mtime pinned ahead so the
+    // short test timeout cannot age it into staleness): acquisition times
+    // out loudly and the foreign lock is left in place
+    assert(lockFile.createNewFile())
+    assert(lockFile.setLastModified(System.currentTimeMillis() + 600000))
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.swapPointer(hfs, table, base, "manifest-zzz.tsv", lockTimeoutMs = 300)
+    }
+    assert(e.getMessage.contains("commit lock"))
+    assert(lockFile.exists()) // a live foreign lock is never deleted
+
+    // the writer crashed: its lock ages past the bound and is broken
+    assert(lockFile.setLastModified(System.currentTimeMillis() - 120000))
+    SnapshotTable.commit(Seq(("b", 2)).toDF("doc_id", "v"), table)
+    assert(!lockFile.exists())
+    assert(SnapshotTable.read(spark, table).get.count() == 2)
+
+    // the conflict-detection path releases the lock too
+    assert(lockFile.createNewFile() &&
+      lockFile.setLastModified(System.currentTimeMillis() - 120000))
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.swapPointer(hfs, table, Some("manifest-stale"), "manifest-zzz.tsv")
+    }
+    assert(!lockFile.exists())
+  }
+
   test("Pipeline.maintain: run -> retry -> compact+vacuum leaves one snapshot, view unchanged") {
     import spark.implicits._
     val table = tmpTable()
