@@ -2168,6 +2168,37 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.embSigDelta.get.isEmpty && r2.embVecDelta.get.isEmpty)
   }
 
+  test("removeDuplicatedCharRuns property: length bookkeeping exact; doubled docs vanish; unique corpus untouched (100 random docs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // random texts over a tiny alphabet -> plenty of natural stride-1
+    // repeats; every third doc is committed twice under two ids so its
+    // FULL text is corpus-duplicated
+    val base = (0 until 100).map { i =>
+      val len = 30 + rnd.nextInt(120)
+      (i.toLong, (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    }
+    val docs = (base ++ base.filter(_._1 % 3 == 0)
+      .map { case (id, t) => (id + 1000L, t) }).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedCharRuns(docs, l = 12)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length == 134)
+    // bookkeeping: n_chars - n_removed == len(text_deduped), bounds sane
+    assert(out.forall { case (_, t, n, r) => n - r == t.length && r >= 0 && r <= n })
+    // a doc whose text exists verbatim under another id is fully covered
+    // (every window of it occurs >= twice) -> comes back empty, both copies
+    val doubledIds = base.filter(_._1 % 3 == 0).flatMap(p => Seq(p._1, p._1 + 1000L)).toSet
+    assert(out.filter(o => doubledIds(o._1)).forall(_._2.isEmpty))
+    // a corpus of globally-unique texts with no internal repeats under l
+    // comes back verbatim: disjoint alphabets per doc, aperiodic content
+    val unique = (0 until 20).map(i =>
+      (i.toLong, (0 until 50).map(j => ('a' + (i * 7 + j * j) % 26).toChar).mkString + s"#$i"))
+      .toDF("doc_id", "text")
+    val u = Dedup.removeDuplicatedCharRuns(unique, l = 40)
+      .as[(Long, String, Long, Long)].collect()
+    assert(u.length == 20 && u.forall(_._4 == 0L), u.filter(_._4 > 0).mkString("; "))
+  }
+
   test("incrementalSimhash: exact copy at hamming 0; mutation matches iff within 3 bits; novel absent") {
     import spark.implicits._
     val store = (0 until 20).map(i =>
