@@ -89,46 +89,14 @@ object StreamingDedup {
         val sigDir = s"$storeDir/sig"
         val txtDir = s"$storeDir/texts"
         import spark.implicits._
-        // partition key = batch id + an order-independent XOR content hash
-        // of the batch: a REPLAY of the same batch (same content) lands on
-        // the same directory and overwrites it with identical bytes
-        // (idempotent), while a fresh-checkpoint restart — whose batch ids
-        // reset to 0 over DIFFERENT content — lands on new directories
-        // instead of destroying prior runs' partitions. One tiny action
-        // per micro-batch.
-        val contentKey = {
-          val k = batch.select(
-            conv(substring(md5(concat(col("doc_id").cast("string"),
-              lit(":"), md5(col("text")))), 1, 8), 16, 10)
-              .cast("long").as("_k"))
-            .agg(expr("bit_xor(_k)")).head().get(0)
-          if (k == null) "empty" else java.lang.Long.toHexString(k.asInstanceOf[Long])
-        }
-        val part = s"$batchId-$contentKey"
-        // the store read EXCLUDES this batch's own partition: a replayed
-        // batch would otherwise find its previous attempt's signatures,
-        // mark itself 100% duplicate, and overwrite its output with
-        // nothing. Only a MISSING directory reads as an empty store (the
-        // first batch); any real read failure must fail the batch so
-        // Spark retries it — a swallowed transient error would silently
-        // release a whole batch of duplicates and pollute the store.
-        def readStore(dir: String, keep: Seq[String], make: => DataFrame): DataFrame = {
-          val p = new org.apache.hadoop.fs.Path(dir)
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(p)) make
-          else {
-            val df = spark.read.parquet(dir)
-            // a pre-seeded flat store (no batch partition dirs) has no
-            // own-partition to exclude
-            val scoped = if (df.columns.contains("batch"))
-              df.filter(col("batch") =!= part) else df
-            scoped.select(keep.map(col): _*)
-          }
-        }
-        val storeSig = readStore(sigDir, Seq("doc_id", "bucket"),
-          Seq.empty[(Long, Long)].toDF("doc_id", "bucket"))
-        val storeTexts = readStore(txtDir, Seq("doc_id", "text"),
-          Seq.empty[(Long, String)].toDF("doc_id", "text"))
+        // delivery semantics shared with every store-backed ingest stage:
+        // content-keyed idempotent partitions, own-partition-excluding
+        // store reads, fail-loud on real read errors ([[IngestStores]])
+        val part = IngestStores.partitionKey(batch, batchId)
+        val storeSig = IngestStores.readScoped(batch, sigDir, part,
+          Seq("doc_id", "bucket"), Seq.empty[(Long, Long)].toDF("doc_id", "bucket"))
+        val storeTexts = IngestStores.readScoped(batch, txtDir, part,
+          Seq("doc_id", "text"), Seq.empty[(Long, String)].toDF("doc_id", "text"))
         val dups = graft.ops.Dedup.incrementalMinhash(
           batch, storeSig, storeTexts, n, bands, rowsPerBand, tau, maxBucket)
         val novel = batch
