@@ -1219,6 +1219,19 @@ object SparkEntry {
         embSigStore = Some(embSigStore), embStoreVecs = Some(embStore)).docs
     }),
 
+    // sharded index build: two shards over disjoint halves, merged —
+    // exact vs the one-shot index over the union (the disjointness +
+    // smallest-ids invariant makes the merge lossless), which is what
+    // the oracle states
+    "q117_merge_index_shards" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      IndexBuild.mergeShards(
+        IndexBuild.invertedIndex(docs.filter(col("doc_id") < 150), 16),
+        IndexBuild.invertedIndex(docs.filter(col("doc_id").between(150, 299)), 16),
+        16)
+        .select("term", "df", "total_tf", "postings", "truncated")
+    }),
+
     // incremental SimHash vs a standing signature store: exact copies of
     // store docs (hamming 0 by construction), drop-1-word mutations
     // (matched wherever the deterministic simhash lands within 3 bits),
@@ -3154,6 +3167,25 @@ object SparkEntry {
           UNION ALL SELECT doc_id, 'near_dup', NULL, NULL FROM nd
           UNION ALL SELECT doc_id, 'low_quality', NULL, NULL FROM lowq
           UNION ALL SELECT doc_id, 'kept', split, text FROM kept""",
+
+    // merged shards == the one-shot q112 construction over the union
+    // corpus (docs < 300) — the merge's losslessness is the claim under
+    // test, so the oracle is deliberately merge-free
+    "q117_merge_index_shards" ->
+      s"""WITH tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+                      FROM (SELECT doc_id, unnest($WORDS) AS term FROM documents
+                            WHERE doc_id < 300)
+                      GROUP BY 1, 2),
+          r AS (SELECT term, doc_id, tf,
+                  row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+                  lag(doc_id, 1, 0) OVER (PARTITION BY term ORDER BY doc_id) AS prev
+                FROM tf)
+          SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf,
+            string_agg(CASE WHEN rn <= 16
+                         THEN (doc_id - prev)::VARCHAR || ':' || tf::VARCHAR END,
+                       ',' ORDER BY doc_id) AS postings,
+            (CASE WHEN count(*) > 16 THEN 1 ELSE 0 END)::INT AS truncated
+          FROM r GROUP BY term""",
 
     // the incremental simhash chain restated: store bands capped at 64
     // per bucket (row_number, flag exact), one bucket join, exact

@@ -157,6 +157,68 @@ object IndexBuild {
       .toDF("term", "df", "total_tf", "postings", "truncated")
   }
 
+  /** Merge two inverted-index SHARDS built over DISJOINT doc-id sets into
+    * the index of their union — the reduce step of a sharded index build
+    * (each corpus partition indexes locally with [[invertedIndex]], then
+    * shards merge pairwise/treewise instead of re-scanning text). EXACT
+    * by the disjointness + smallest-ids invariant: each shard's postings
+    * are its own `maxPostings` smallest doc ids, and with disjoint id
+    * sets the union's `maxPostings` smallest ids are necessarily among
+    * the two retained lists — so decode, merge-sort, re-cap reproduces
+    * `invertedIndex(unionCorpus)` bit-for-bit; df/total_tf sum exactly;
+    * truncated = merged df > maxPostings. That equality IS the oracle
+    * gate (q117 compares the merged shards against the one-shot index).
+    *
+    * Scale shape: ONE full-outer sort-merge join on the term key (both
+    * sides are term-unique aggregates — no row explosion, no skew beyond
+    * the term dimension), then a map-only typed merge bounded at
+    * 2 x maxPostings decoded entries per term. No corpus re-scan, no
+    * window, no second shuffle.
+    */
+  def mergeShards(a: DataFrame, b: DataFrame, maxPostings: Int): DataFrame = {
+    require(maxPostings > 0, "maxPostings must be positive")
+    val spark = a.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, s: String) =
+      df.select(col("term"), col("df").cast("long").as(s"df$s"),
+        col("total_tf").cast("long").as(s"tf$s"), col("postings").as(s"p$s"))
+    side(a, "_a").join(side(b, "_b"), Seq("term"), "full_outer")
+      .as[(String, Option[Long], Option[Long], Option[String],
+        Option[Long], Option[Long], Option[String])]
+      .map { case (term, dfa, tfa, pa, dfb, tfb, pb) =>
+        def decode(p: Option[String]): Array[(Long, Long)] = p match {
+          case None => Array.empty
+          case Some("") => Array.empty
+          case Some(enc) =>
+            var prev = 0L
+            enc.split(',').map { e =>
+              val i = e.indexOf(':')
+              val d = e.substring(0, i).toLong + prev
+              prev = d
+              (d, e.substring(i + 1).toLong)
+            }
+        }
+        val xs = decode(pa); val ys = decode(pb)
+        val n = math.min(maxPostings, xs.length + ys.length)
+        val sb = new StringBuilder
+        var i = 0; var j = 0; var o = 0; var prev = 0L
+        while (o < n) {
+          val (d, t) =
+            if (j >= ys.length || (i < xs.length && xs(i)._1 <= ys(j)._1)) {
+              i += 1; xs(i - 1)
+            } else { j += 1; ys(j - 1) }
+          if (sb.nonEmpty) sb.append(',')
+          sb.append(d - prev).append(':').append(t)
+          prev = d
+          o += 1
+        }
+        val df = dfa.getOrElse(0L) + dfb.getOrElse(0L)
+        (term, df, tfa.getOrElse(0L) + tfb.getOrElse(0L), sb.toString,
+          if (df > maxPostings) 1 else 0)
+      }
+      .toDF("term", "df", "total_tf", "postings", "truncated")
+  }
+
   /** BM25 top-k retrieval over the corpus in exact integer arithmetic — the
     * query side of [[invertedIndex]] (corpus forensics: find the documents a
     * benchmark phrase or contamination probe scores highest against).

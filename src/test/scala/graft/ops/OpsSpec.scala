@@ -2199,6 +2199,30 @@ class OpsSpec extends AnyFunSuite {
     assert(u.length == 20 && u.forall(_._4 == 0L), u.filter(_._4 > 0).mkString("; "))
   }
 
+  test("mergeShards: merged shards == one-shot index; truncation and one-sided terms exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("alpha", "beta", "gamma", "hot", "rare")
+    // 'hot' in every doc (forces truncation at cap 4), 'rare' only in the
+    // second shard, the rest random — 12 docs split into disjoint halves
+    val docs = (0 until 12).map { i =>
+      val ws = Seq("hot") ++ (0 until 6).map(_ => vocab(rnd.nextInt(3))) ++
+        (if (i >= 6 && i % 3 == 0) Seq("rare") else Seq.empty)
+      (i.toLong, ws.mkString(" "))
+    }.toDF("doc_id", "text")
+    val cap = 4
+    val merged = IndexBuild.mergeShards(
+      IndexBuild.invertedIndex(docs.filter(col("doc_id") < 6), cap),
+      IndexBuild.invertedIndex(docs.filter(col("doc_id") >= 6), cap), cap)
+      .as[(String, Long, Long, String, Int)].collect().toSet
+    val oneShot = IndexBuild.invertedIndex(docs, cap)
+      .as[(String, Long, Long, String, Int)].collect().toSet
+    assert(merged == oneShot, s"merged=$merged\noneShot=$oneShot")
+    val hot = merged.find(_._1 == "hot").get
+    assert(hot._2 == 12L && hot._5 == 1 && hot._4.split(",").length == cap)
+    assert(merged.find(_._1 == "rare").get._5 == 0)
+  }
+
   test("incrementalSimhash: exact copy at hamming 0; mutation matches iff within 3 bits; novel absent") {
     import spark.implicits._
     val store = (0 until 20).map(i =>
