@@ -199,10 +199,20 @@ object IndexBuild {
             }
         }
         val xs = decode(pa); val ys = decode(pb)
+        // disjointness contract, enforced where it is observable: a doc id
+        // retained by BOTH shards means the shards were built over
+        // overlapping corpora — df/total_tf would silently double-count.
+        // Fail fast instead (the check is free: the merge walks both
+        // sorted lists anyway).
         val n = math.min(maxPostings, xs.length + ys.length)
         val sb = new StringBuilder
         var i = 0; var j = 0; var o = 0; var prev = 0L
         while (o < n) {
+          if (i < xs.length && j < ys.length && xs(i)._1 == ys(j)._1)
+            throw new IllegalArgumentException(
+              s"mergeShards: doc_id ${xs(i)._1} appears in both shards' " +
+                s"""postings for term "$term" — shards must cover disjoint """ +
+                "doc sets (df/total_tf would double-count)")
           val (d, t) =
             if (j >= ys.length || (i < xs.length && xs(i)._1 <= ys(j)._1)) {
               i += 1; xs(i - 1)

@@ -2221,6 +2221,15 @@ class OpsSpec extends AnyFunSuite {
     val hot = merged.find(_._1 == "hot").get
     assert(hot._2 == 12L && hot._5 == 1 && hot._4.split(",").length == cap)
     assert(merged.find(_._1 == "rare").get._5 == 0)
+    // overlapping shards violate the disjointness contract -> fail fast,
+    // never silently double-counted df
+    val e = intercept[org.apache.spark.SparkException] {
+      IndexBuild.mergeShards(
+        IndexBuild.invertedIndex(docs.filter(col("doc_id") < 8), cap),
+        IndexBuild.invertedIndex(docs.filter(col("doc_id") >= 6), cap), cap).count()
+    }
+    assert(e.getMessage.contains("disjoint") ||
+      Option(e.getCause).exists(_.getMessage.contains("disjoint")), e.getMessage.take(500))
   }
 
   test("incrementalSimhash: exact copy at hamming 0; mutation matches iff within 3 bits; novel absent") {
