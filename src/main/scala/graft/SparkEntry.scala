@@ -1219,6 +1219,25 @@ object SparkEntry {
         embSigStore = Some(embSigStore), embStoreVecs = Some(embStore)).docs
     }),
 
+    // linear-sketch merges: slice sketches sum-merged must equal the
+    // one-shot sketch over the union — the exactness claim of the
+    // tree-reduce path, stated directly by oracles built over the union
+    "q118_cms_merge" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Sketch.cmsMerge(Seq(
+        Sketch.cmsBuild(docs.filter(col("doc_id") < 150)),
+        Sketch.cmsBuild(docs.filter(col("doc_id").between(150, 299)))))
+        .select("seed", "bucket", "cnt")
+    }),
+
+    "q119_hist_merge" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Sketch.histMerge(Seq(
+        Sketch.logHistogram(docs.filter(col("doc_id") < 150), col("n_chars")),
+        Sketch.logHistogram(docs.filter(col("doc_id").between(150, 299)), col("n_chars"))))
+        .select("bucket", "cnt")
+    }),
+
     // sharded index build: two shards over disjoint halves, merged —
     // exact vs the one-shot index over the union (the disjointness +
     // smallest-ids invariant makes the merge lossless), which is what
@@ -3167,6 +3186,25 @@ object SparkEntry {
           UNION ALL SELECT doc_id, 'near_dup', NULL, NULL FROM nd
           UNION ALL SELECT doc_id, 'low_quality', NULL, NULL FROM lowq
           UNION ALL SELECT doc_id, 'kept', split, text FROM kept""",
+
+    // the q109 cells CTE over the union corpus — merged slice sketches
+    // must reproduce it cell-for-cell (linearity)
+    "q118_cms_merge" ->
+      s"""WITH toks AS (SELECT unnest($WORDS) AS tok FROM documents WHERE doc_id < 300),
+          seeds AS (SELECT unnest(generate_series(0, 3)) AS seed)
+          SELECT seed,
+                 ('0x' || substr(md5(seed::VARCHAR || ':' || tok), 1, 8))::BIGINT % 64 AS bucket,
+                 count(*)::BIGINT AS cnt
+          FROM toks CROSS JOIN seeds GROUP BY seed, bucket""",
+
+    // the q110 binning over the union corpus — merged slice histograms
+    // must reproduce it bucket-for-bucket
+    "q119_hist_merge" ->
+      """SELECT CASE WHEN len(bin(n_chars + 1)) - 1 < 2 THEN n_chars + 1
+                     ELSE (len(bin(n_chars + 1)) - 1) * 4
+                          + (((n_chars + 1) >> (len(bin(n_chars + 1)) - 3)) & 3)
+                END AS bucket, count(*)::BIGINT AS cnt
+         FROM documents WHERE doc_id < 300 GROUP BY 1""",
 
     // merged shards == the one-shot q112 construction over the union
     // corpus (docs < 300) — the merge's losslessness is the claim under

@@ -214,6 +214,35 @@ object Sketch {
       .groupBy("seed", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Sum-merge [[cmsBuild]] sketches built with the SAME (width, depth)
+    * over corpus slices — the tree-reduce step of sketching 100 TB
+    * shard-by-shard. EXACT, not approximate-on-approximate: count-min is
+    * a linear sketch (every cell is a pure sum), so the merged table
+    * equals `cmsBuild` over the concatenated slices bit-for-bit — which
+    * is what the q118 oracle states. Unlike [[IndexBuild.mergeShards]]
+    * there is no disjointness hazard to guard: overlapping slices simply
+    * count their overlap twice, the linear-sum definition. ONE
+    * map-side-combined aggregation bounded at depth x width output rows.
+    */
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "cmsMerge needs at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy("seed", "bucket").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Sum-merge [[logHistogram]]s of corpus slices — same linearity
+    * argument as [[cmsMerge]] on the quantile sketch: merged histogram ==
+    * the histogram of the concatenated slices exactly (q119), so
+    * [[histQuantiles]] over shard-merged histograms answers corpus
+    * percentiles without any corpus-wide pass. Output bounded by the
+    * value DOMAIN (~250 rows for 64-bit), never the corpus.
+    */
+  def histMerge(hists: Seq[DataFrame]): DataFrame = {
+    require(hists.nonEmpty, "histMerge needs at least one histogram")
+    hists.reduce(_ unionByName _)
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+  }
+
   /** the ONE spelling of the count-min cell hash, shared with
     * [[cmsEstimate]] (and mirrored by the q109 oracle): md5-prefix hash
     * of "seed:token", mod width

@@ -158,4 +158,21 @@ class SketchSpec extends AnyFunSuite {
       assert(lo <= truth && truth <= hi, s"p=$p truth=$truth [$lo,$hi]")
     }
   }
+
+  test("cmsMerge/histMerge: merged slice sketches equal the one-shot sketch (linearity)") {
+    val docs = (0 until 30).map(i =>
+      (i.toLong, (0 until 10).map(j => s"w${(i + j) % 7}").mkString(" "), (i * 37 % 500).toLong))
+      .toDF("doc_id", "text", "n_chars")
+    val (a, b) = (docs.filter(col("doc_id") < 15), docs.filter(col("doc_id") >= 15))
+    assert(
+      Sketch.cmsMerge(Seq(Sketch.cmsBuild(a), Sketch.cmsBuild(b)))
+        .as[(Int, Long, Long)].collect().toSet ==
+      Sketch.cmsBuild(docs).as[(Int, Long, Long)].collect().toSet)
+    assert(
+      Sketch.histMerge(Seq(
+          Sketch.logHistogram(a, col("n_chars")),
+          Sketch.logHistogram(b, col("n_chars"))))
+        .as[(Long, Long)].collect().toSet ==
+      Sketch.logHistogram(docs, col("n_chars")).as[(Long, Long)].collect().toSet)
+  }
 }
