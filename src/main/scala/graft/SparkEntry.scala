@@ -723,17 +723,17 @@ object SparkEntry {
     // cluster resolution policy over the chain universe (mutations only for
     // ids < 40, so ids 40-59 exercise the unclustered-singleton path unless
     // naturally near-dup): longest text wins its cluster, ties to min id
+    // resolution over the SHARED chain clustering (the q36 memoized
+    // subtree — one quadratic scan per run instead of a second private
+    // one), plus unmutated docs 60-79 that appear in no cluster so the
+    // singleton branch stays exercised
     "q55_resolve_dups" -> ((s, dir) => {
-      val base = s.read.parquet(s"$dir/documents.parquet")
-        .filter(col("doc_id") < 60).select("doc_id", "text")
-      val words = ops.TextAnalysis.words(col("text"))
-      def dropK(k: Int, off: Long) = base.filter(col("doc_id") < 40)
-        .withColumn("text", concat_ws(" ", slice(words, lit(1), size(words) - k)))
-        .withColumn("doc_id", col("doc_id") + off)
-      val uni = base.unionAll(dropK(1, 1000000L)).unionAll(dropK(2, 2000000L))
+      val uni = chainUniverse(s, dir)
+        .unionAll(s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id").between(60, 79)).select("doc_id", "text"))
         .withColumn("n_chars", length(col("text")))
-      val clusters = Dedup.duplicateClusters(Dedup.ngramJaccardPairs(uni))
-      Dedup.resolveDuplicates(uni, clusters).select("doc_id", "cluster_id", "keep")
+      Dedup.resolveDuplicates(uni, chainClusters(s, dir))
+        .select("doc_id", "cluster_id", "keep")
     }),
 
     // domain-mixture rebalancing toward en:de:fr = 2:1:1 — en is the
@@ -1451,18 +1451,6 @@ object SparkEntry {
         UNION ALL
         SELECT doc_id + 2000000, array_to_string(w[1:len(w)-2], ' ')
         FROM (SELECT doc_id, $WORDS AS w FROM documents WHERE doc_id < 60))"""
-
-  /** resolution universe: base ids < 60, mutations only for ids < 40 so
-    * some base docs stay unclustered (singleton path)
-    */
-  private val resolveUniverseSql =
-    s"""(SELECT doc_id, text FROM documents WHERE doc_id < 60
-        UNION ALL
-        SELECT doc_id + 1000000, array_to_string(w[1:len(w)-1], ' ')
-        FROM (SELECT doc_id, $WORDS AS w FROM documents WHERE doc_id < 40)
-        UNION ALL
-        SELECT doc_id + 2000000, array_to_string(w[1:len(w)-2], ' ')
-        FROM (SELECT doc_id, $WORDS AS w FROM documents WHERE doc_id < 40))"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_extract_txt" ->
@@ -2254,8 +2242,10 @@ object SparkEntry {
     // clusters from the recursive CTE, winner = max text length then min
     // id; docs outside the pair graph keep trivially as their own cluster
     "q55_resolve_dups" ->
-      s"""WITH RECURSIVE pairs AS (${jaccardPairsOver(resolveUniverseSql)}),
-          docs AS (SELECT * FROM $resolveUniverseSql),
+      s"""WITH RECURSIVE pairs AS (${jaccardPairsOver(chainUniverseSql)}),
+          docs AS (SELECT * FROM $chainUniverseSql
+                   UNION ALL SELECT doc_id, text FROM documents
+                   WHERE doc_id BETWEEN 60 AND 79),
           edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                     UNION SELECT doc_b, doc_a FROM pairs),
           reach(id, label) AS (
