@@ -39,11 +39,21 @@ private[graft] object BenchCore {
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", 4 * cores)
       .config("spark.sql.adaptive.enabled", "true")
-      // fixed post-shuffle granularity of 4 tasks/core at every level:
-      // size-based AQE coalescing would otherwise hand different levels
-      // different task counts (and 2-core runs just 2 giant tasks, where a
-      // single straggler costs 20%+); skew-join splitting stays on
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // size-adaptive post-shuffle partitioning (opt out with
+      // SPARK_GRAFT_AQE_COALESCE=0). Earlier rounds pinned coalescing OFF
+      // to hold a fixed 4-tasks/core granularity across scaling levels —
+      // but the headline pipeline plans ZERO Exchange (bucketed-scan
+      // sort-merge join, see BenchExplain), so coalescing cannot touch the
+      // scaling measurement at any level. What it does change is the
+      // 116-query profile, where tiny verification universes paid 128
+      // scheduled tasks per shuffle stage (q114: 11,871 tasks for a
+      // 180-doc batch); with AQE coalescing the task count derives from
+      // data SIZE — the scale-adaptive setting the optimization guide
+      // prescribes (tiny frame -> 1 task locally, 100 TB -> thousands of
+      // advisory-sized partitions on a cluster), not a constant tuned for
+      // either environment
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "1") == "1")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // local-bench input is ~a GB: size splits so read parallelism >= cores

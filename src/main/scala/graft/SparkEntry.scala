@@ -78,12 +78,27 @@ object SparkEntry {
     * Bench's in-process fallback runs one session per level.
     */
   private val subtreeMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
   private def memoSubtree(s: SparkSession, dir: String, key: String)
                          (build: => DataFrame): DataFrame =
     subtreeMemo.getOrElseUpdate(
-      (System.identityHashCode(s), dir, key),
+      (s, dir, key),
       build.localCheckpoint(eager = true))
+
+  /** Release every memoized verification subtree: unpersists the eager
+    * localCheckpoint blocks and drops the (session-keyed) entries, so a
+    * long-lived session that runs gates over many sf dirs — or a repeat
+    * measurement that wants cold-build cost — does not accumulate
+    * checkpoint blocks until session close. The memo key is the session
+    * REFERENCE (identity equality), so entries can never collide across
+    * sessions the way an `identityHashCode` key theoretically could.
+    */
+  def unpersistSubtrees(): Unit = {
+    subtreeMemo.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    subtreeMemo.clear()
+  }
 
   /** shared q15/q79 subtree: Jaccard pair verification over [[dedupUniverse]]. */
   private def dedupUniversePairs(s: SparkSession, dir: String): DataFrame =
@@ -720,13 +735,11 @@ object SparkEntry {
       Dedup.paragraphDedup(planted).select("doc_id", "text", "n_paras_kept")
     }),
 
-    // cluster resolution policy over the chain universe (mutations only for
-    // ids < 40, so ids 40-59 exercise the unclustered-singleton path unless
-    // naturally near-dup): longest text wins its cluster, ties to min id
-    // resolution over the SHARED chain clustering (the q36 memoized
-    // subtree — one quadratic scan per run instead of a second private
-    // one), plus unmutated docs 60-79 that appear in no cluster so the
-    // singleton branch stays exercised
+    // cluster resolution policy (longest text wins its cluster, ties to
+    // min id) over the SHARED chain clustering (the q36 memoized subtree —
+    // one quadratic scan per run instead of a second private one), plus
+    // unmutated docs 60-79 that appear in no cluster so the
+    // unclustered-singleton branch stays exercised
     "q55_resolve_dups" -> ((s, dir) => {
       val uni = chainUniverse(s, dir)
         .unionAll(s.read.parquet(s"$dir/documents.parquet")

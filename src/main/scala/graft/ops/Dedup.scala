@@ -111,39 +111,44 @@ object Dedup {
       .agg(min(struct(ordered.map(col): _*)).as("_row"))
       .select(col("text_hash") +: rest.map(c => col(s"_row.$c").as(c)): _*)
     // the filter is built over the batch's NON-NULL hashes only: a null
-    // hash never matches an anti-join key, so it needs no representation —
-    // and Spark's bloomFilter builder NPEs on both null items and zero
-    // rows. No non-null hashes (empty batch or all-null text) short-
-    // circuits: the anti-join would be a no-op
-    val nonNull = firstPerHash.filter(col("text_hash").isNotNull)
-    if (nonNull.isEmpty) return firstPerHash
-    val bloom = nonNull.stat.bloomFilter("text_hash", expectedBatchItems, fpp)
-    val bB = spark.sparkContext.broadcast(bloom)
-    val mightBeInBatch = udf((h: String) => h != null && bB.value.mightContainString(h))
+    // hash never matches an anti-join key, so it needs no representation.
+    // NATIVE build + probe (bloom_filter_agg / might_contain — the same
+    // expressions behind Spark's own runtime join filters): the store-side
+    // prune stays inside WholeStageCodegen instead of falling out to a
+    // ScalaUDF row-at-a-time probe. The one-row aggregate is the SAME
+    // single driver action the previous stat.bloomFilter build paid, and
+    // its NULL result on an empty batch replaces the separate isEmpty()
+    // pre-check action. Both sides hash with xxhash64 over the md5 string;
+    // a store row with NULL hash may pass the probe (xxhash64(NULL) is the
+    // seed) but can never match the anti-join key — output-invisible.
+    import org.apache.spark.sql.GraftColumnBridge
+    val bloomBytes = firstPerHash.filter(col("text_hash").isNotNull)
+      .select(GraftColumnBridge.bloomFilterAgg(
+        xxhash64(col("text_hash")), expectedBatchItems, fpp))
+      .head.getAs[Array[Byte]](0)
+    if (bloomBytes == null) return firstPerHash // no non-null hashes: no-op join
     val prunedStore = seenHashes.select(col("text_hash"))
-      .filter(mightBeInBatch(col("text_hash"))).distinct()
+      .filter(GraftColumnBridge.mightContain(bloomBytes, xxhash64(col("text_hash"))))
+      .distinct()
     firstPerHash.join(prunedStore, Seq("text_hash"), "left_anti")
   }
 
   /** Distinct word n-gram shingles per doc, exploded to (doc_id, shingle).
-    * Codegen'd column expressions only — no UDF. Documents shorter than
-    * `n` words emit NO shingles (they cannot contain an n-gram): the
-    * filter guards the transform, because `sequence(0, size - n)` with
-    * `size < n` steps BACKWARDS to `[0, -1]` and the array access inside
-    * would be an INVALID_ARRAY_INDEX job failure under default ANSI mode.
+    * ONE codegen'd kernel call per row ([[TextFunctions.wordShingles]] —
+    * same semantics as the previous higher-order-function column chain,
+    * whose interpreted `filter(split(text))` got cloned into a
+    * pre-Generate filter at every `words` reference by
+    * InferFiltersFromGenerate: ~3 full regex splits PER SHINGLE INDEX per
+    * row, 8.6 s for a 5,000-doc corpus vs 0.2 s materialized). Documents
+    * shorter than `n` words emit NO shingles (the kernel returns an empty
+    * array, which `explode` drops — they cannot contain an n-gram).
     * Consumers re-join against the full doc set where every-row output is
     * needed (decontaminate), or correctly treat shingle-less docs as
     * never-candidates (minhashLsh, ngramJaccardPairs).
     */
-  def shingled(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
-    docs
-      .withColumn("words", TextAnalysis.words(col(textCol)))
-      .filter(size(col("words")) >= n)
-      .withColumn("shingles", array_distinct(
-        transform(sequence(lit(0), size(col("words")) - n),
-          i => concat_ws(" ", (0 until n).map(j => col("words")(i + j)): _*))))
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-  }
+  def shingled(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.spark.TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
 
   /** Benchmark decontamination: flag corpus docs sharing any word `n`-gram
     * with an evaluation set (the standard pre-training hygiene pass — an

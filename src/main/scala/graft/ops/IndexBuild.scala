@@ -222,6 +222,18 @@ object IndexBuild {
           prev = d
           o += 1
         }
+        // continue the disjointness walk to both lists' ENDS once the
+        // output cap is reached: an overlap hiding beyond the cap would
+        // otherwise silently double-count df/total_tf. Both lists are
+        // maxPostings-bounded, so the extra walk is O(maxPostings).
+        while (i < xs.length && j < ys.length) {
+          if (xs(i)._1 == ys(j)._1)
+            throw new IllegalArgumentException(
+              s"mergeShards: doc_id ${xs(i)._1} appears in both shards' " +
+                s"""postings for term "$term" — shards must cover disjoint """ +
+                "doc sets (df/total_tf would double-count)")
+          if (xs(i)._1 < ys(j)._1) i += 1 else j += 1
+        }
         val df = dfa.getOrElse(0L) + dfb.getOrElse(0L)
         (term, df, tfa.getOrElse(0L) + tfb.getOrElse(0L), sb.toString,
           if (df > maxPostings) 1 else 0)

@@ -109,30 +109,45 @@ object SnapshotTable {
     * The check-then-write runs under an exclusive `_commit.lock` acquired
     * by create-no-overwrite — atomic on HDFS (namenode-side EXCLUSIVE
     * create) and on local filesystems (`File.createNewFile`, an atomic
-    * POSIX O_CREAT|O_EXCL), so for cooperating writers the former
-    * check-to-rename race window is CLOSED, not just detected. A lock
-    * left by a crashed writer is broken by age (`lockTimeoutMs`, default
-    * 60 s — far above any pointer-swap duration, which is metadata-only);
+    * POSIX O_CREAT|O_EXCL) — a LEASE, not a perfect mutex: a lock left by
+    * a crashed writer is broken by age (`lockTimeoutMs`, default 60 s —
+    * far above any pointer-swap duration, which is metadata-only), and
     * acquisition gives up with a clear error after the same bound rather
-    * than spinning forever. Object stores without atomic create (classic
-    * S3) fall back to detection-only semantics — there Iceberg's answer
-    * (a catalog CAS) is the production one, as before.
+    * than spinning forever. Two guards close the crash-recovery races of
+    * the naive break (stat → delete could remove a FRESH lock that
+    * replaced the stale one in between; a writer paused past its lease
+    * could commit on a broken lock): (1) the breaker re-stats immediately
+    * before deleting and only deletes the exact lock it observed stale
+    * (same modification time); (2) every lock carries its owner's UUID
+    * token, re-verified immediately before the pointer write and before
+    * the release delete — a writer whose lease was broken aborts with the
+    * standard retryable conflict instead of double-committing, and never
+    * deletes a successor's lock. Object stores without atomic create
+    * (classic S3) fall back to detection-only semantics — there Iceberg's
+    * answer (a catalog CAS) is the production one, as before.
     */
   private[spark] def swapPointer(hfs: FileSystem, tableDir: String,
       expected: Option[String], newName: String,
       lockTimeoutMs: Long = 60000L): Unit = {
     val lock = new Path(s"$tableDir/_commit.lock")
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + lockTimeoutMs
     var held = false
     while (!held) {
-      held = tryAcquireLock(hfs, lock)
+      held = tryAcquireLock(hfs, lock, token)
       if (!held) {
         // break a stale lock by age; contenders then race on the atomic
-        // create again — exactly one wins
+        // create again — exactly one wins. The re-stat right before the
+        // delete pins the delete to the EXACT lock observed stale: a
+        // fresh lock created in between carries a newer mtime and
+        // survives (the former stat→delete window deleted it).
         try {
           val st = hfs.getFileStatus(lock)
-          if (System.currentTimeMillis() - st.getModificationTime > lockTimeoutMs)
-            hfs.delete(lock, false): Unit
+          if (System.currentTimeMillis() - st.getModificationTime > lockTimeoutMs) {
+            val st2 = hfs.getFileStatus(lock)
+            if (st2.getModificationTime == st.getModificationTime)
+              hfs.delete(lock, false): Unit
+          }
         } catch { case _: java.io.FileNotFoundException => () }
         if (!held && System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
@@ -148,23 +163,54 @@ object SnapshotTable {
           s"snapshot commit conflict on $tableDir: expected _current=" +
             s"${expected.getOrElse("<none>")} but found ${now.getOrElse("<none>")}; " +
             "another writer committed concurrently — re-run to retry on the new base")
+      // fencing check: the lock must still carry OUR token (a pause past
+      // the lease bound lets another writer break and re-acquire it;
+      // committing anyway could silently drop that writer's manifest)
+      if (!lockOwner(hfs, lock).contains(token))
+        throw new java.util.ConcurrentModificationException(
+          s"commit lock $lock was broken and re-acquired while this writer " +
+            "was paused past the lease timeout — aborting before the pointer " +
+            "write; re-run to retry on the new base")
       writeFileAtomic(hfs, new Path(s"$tableDir/_current"), newName + "\n")
-    } finally hfs.delete(lock, false): Unit
+    } finally {
+      // release only our OWN lock — after a lost lease the current lock
+      // file belongs to the writer that broke ours
+      if (lockOwner(hfs, lock).contains(token))
+        hfs.delete(lock, false): Unit
+    }
   }
+
+  /** The owner token inside a lock file; None when missing/unreadable
+    * (treated as "not ours" by both fencing call sites).
+    */
+  private def lockOwner(hfs: FileSystem, lock: Path): Option[String] =
+    try Some(readFile(hfs, lock).trim) catch { case _: java.io.IOException => None }
 
   /** One atomic create-no-overwrite attempt; false when the lock exists.
     * Local paths go through `File.createNewFile` (atomic O_CREAT|O_EXCL —
     * Hadoop's RawLocalFileSystem.create is check-then-act and would race);
-    * everything else uses the filesystem's own exclusive create.
+    * everything else uses the filesystem's own exclusive create. The
+    * winner writes its `token` into the lock right after creation (the
+    * EXISTENCE is the exclusivity; the token is the ownership fence the
+    * swapPointer call sites re-verify).
     */
-  private def tryAcquireLock(hfs: FileSystem, lock: Path): Boolean =
+  private def tryAcquireLock(hfs: FileSystem, lock: Path, token: String): Boolean =
     if (hfs.getScheme == "file") {
       val f = new java.io.File(lock.toUri.getPath)
       f.getParentFile.mkdirs()
-      try f.createNewFile() catch { case _: java.io.IOException => false }
+      try {
+        val won = f.createNewFile()
+        if (won) java.nio.file.Files.write(f.toPath,
+          token.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        won
+      } catch { case _: java.io.IOException => false }
     } else {
-      try { hfs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      try {
+        val out = hfs.create(lock, false)
+        try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
     }
 
   private def currentPointerName(hfs: FileSystem, tableDir: String): Option[String] = {

@@ -121,6 +121,67 @@ object TextFunctions {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** First-occurrence-distinct word `n`-gram shingles of the text in ONE
+    * pass — the [[graft.ops.Dedup.shingled]] kernel as a native expression.
+    * Bit-for-bit the semantics of the original column construction
+    * (`array_distinct(transform(sequence(...), concat_ws(' ', words...)))`
+    * over `filter(split(text, WhitespaceRe), len > 0)`): whitespace split
+    * on exactly WhitespaceRe's six characters, each shingle = n
+    * consecutive words joined by a single space, duplicates dropped at
+    * their first occurrence (array_distinct order; byte-level UTF8String
+    * equality), fewer than n words -> EMPTY array (a doc that cannot
+    * contain an n-gram emits no shingles).
+    *
+    * Why a kernel and not columns: the column form is a higher-order
+    * function chain (interpreted, never codegen'd), and
+    * InferFiltersFromGenerate + predicate pushdown clone the WHOLE chain —
+    * with `filter(split(text))` inlined at every `words` reference — into
+    * a pre-Generate Filter, so every input row paid ~3 regex splits of the
+    * full text PER SHINGLE INDEX, twice (filter + project). Measured 8.6 s
+    * for a 5,000-doc corpus vs 0.2 s for the same rows pre-materialized;
+    * this kernel is one split + one build per row, inside codegen.
+    */
+  def wordShingles(s: UTF8String,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val text = s.toString
+    val len = text.length
+    val words = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < len) {
+      var c = text.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r') {
+        i += 1
+      } else {
+        val start = i
+        while (i < len && {
+          c = text.charAt(i)
+          !(c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r')
+        }) i += 1
+        words.add(text.substring(start, i)): Unit
+      }
+    }
+    val m = words.size - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    // LinkedHashSet preserves first-occurrence order = array_distinct's
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sb = new java.lang.StringBuilder
+    var k = 0
+    while (k < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words.get(k + j))
+        j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString)): Unit
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray().asInstanceOf[Array[Any]])
+  }
+
   /** Remove every length-`l` window starting at the given 1-based
     * positions from the text — the action half of char-granularity
     * exact-substring dedup ([[graft.ops.Dedup.removeDuplicatedCharRuns]]).
@@ -188,6 +249,8 @@ object TextFunctions {
   def simhash60(c: Column): Column = column(SimHash60Expr(expression(c)))
   def charGramHashes(c: Column, l: Int): Column =
     column(CharGramHashesExpr(expression(c), l))
+  def wordShingles(c: Column, n: Int): Column =
+    column(WordShinglesExpr(expression(c), n))
   def spliceCovered(text: Column, starts: Column, l: Int): Column =
     column(SpliceCoveredExpr(expression(text), expression(starts), l))
 }
@@ -245,6 +308,23 @@ case class CharGramHashesExpr(child: Expression, l: Int)
     TextFunctions.charGramHashes(input.asInstanceOf[UTF8String], l)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.spark.TextFunctions.charGramHashes($c, $l)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** word_shingles(s) with shingle width `n` baked in at plan time:
+  * array<string> of first-occurrence-distinct word n-gram shingles
+  * ([[TextFunctions.wordShingles]] — the one-pass shingling kernel).
+  */
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with GraftStringUnaryInput {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextFunctions.wordShingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextFunctions.wordShingles($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

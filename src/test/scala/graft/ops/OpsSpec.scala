@@ -640,13 +640,15 @@ class OpsSpec extends AnyFunSuite {
     // an ALL-null batch short-circuits instead of NPEing the builder
     val allNull = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
     assert(Dedup.incrementalExactBloom(allNull, seen, 1, 0.01).count() == 1)
-    // plan pin: the bloom prune (a UDF filter) sits on the STORE side,
-    // upstream of the single anti-join, so the store never shuffles whole.
-    // Parquet-backed inputs — a local relation would constant-fold the
-    // deterministic UDF away at optimization time and hide the shape.
-    // AQE off so the join node is inspectable before execution; the
-    // assertion walks the RIGHT (store) subtree specifically — a filter
-    // that migrated to the batch side must fail this, not pass it.
+    // plan pin: the bloom prune — a NATIVE might_contain predicate, never
+    // a ScalaUDF — sits on the STORE side, upstream of the single
+    // anti-join, so the store never shuffles whole AND the prune scan
+    // stays inside WholeStageCodegen. Parquet-backed inputs — a local
+    // relation would constant-fold the deterministic predicate away at
+    // optimization time and hide the shape. AQE off so the join node is
+    // inspectable before execution; the assertion walks the RIGHT (store)
+    // subtree specifically — a filter that migrated to the batch side
+    // must fail this, not pass it.
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -662,10 +664,17 @@ class OpsSpec extends AnyFunSuite {
       assert(joins.size == 1, s"expected one anti-join in:\n$exec")
       val storeSide = joins.head.right.collect {
         case f: org.apache.spark.sql.execution.FilterExec
-            if f.condition.toString.contains("UDF") => f
+            if f.condition.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]) => f
       }
       assert(storeSide.nonEmpty,
-        s"bloom prune filter not on the store side of:\n$exec")
+        s"native might_contain bloom prune not on the store side of:\n$exec")
+      // the prune is codegen'd: no ScalaUDF / BatchEvalPython anywhere
+      val udfs = exec.collect { case p => p }.flatMap(p =>
+        p.expressions.flatMap(_.collect {
+          case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+        }) ++ (if (p.nodeName.contains("BatchEvalPython")) Seq(p) else Nil))
+      assert(udfs.isEmpty, s"non-codegen probe survives in:\n$exec")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
