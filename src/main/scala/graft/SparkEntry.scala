@@ -27,9 +27,18 @@ object SparkEntry {
   private def extractFmt(s: SparkSession, dir: String, codes: Seq[Int]): DataFrame = {
     import s.implicits._
     // column-expression filter BEFORE the typed map so it reaches the
-    // parquet scan as a pushed predicate (a lambda filter would not)
+    // parquet scan as a pushed predicate (a lambda filter would not).
+    // The repartition unlocks scan-decoupled parallelism for the
+    // CPU-heavy synth+extract downstream: the base parquet is a single
+    // row group, so byte-based splits give the whole corpus to ~1 task
+    // (guide §2.5 "input skew: repartition right after the read") — the
+    // shuffle moves only the tiny pre-synthesis text rows, and the core
+    // count derives from the session (scale-adaptive), not a constant.
+    // Output-invisible: extraction is a pure per-row function and no
+    // declared query selects the physical part_id column.
     val docs = SpanGen.documents(s, dir)
       .where(pmod(col("doc_id"), lit(10)).isin(codes: _*))
+      .repartition(s.sparkContext.defaultParallelism)
       .map(r => Synth.doc(r.doc_id, r.text, r.source))
     val checked = docs.toDF()
       .withColumn("update_reason", lit("NOT_EXTRACTED_BEFORE"))

@@ -1093,7 +1093,14 @@ object Dedup {
     * shared row_number bound — a degenerate hot band bounds the join
     * fan-out with the overflow COUNTED into the flag, never silent).
     * Batch docs with no words emit no signature (never candidates), the
-    * [[simhashNearDup]] contract.
+    * [[simhashNearDup]] contract. STORE CONTRACT: `storeSims` must carry
+    * signatures of worded documents only — the same rule the batch side
+    * enforces and the deltas every incremental operator emits satisfy
+    * (keepers are never empty). A store row whose signature came from
+    * empty/zero-word text (a raw [[simhash]] call coalesces those to 0)
+    * would enter band buckets and could surface as `dup_of` for a
+    * near-zero-signature batch doc where the q116 oracle — which drops
+    * empty store docs — reports none; filter such rows before appending.
     *
     * Plan: one codegen'd simhash pass over the batch feeds the band
     * shuffle; candidates come from ONE bucket equi-join against the

@@ -53,10 +53,13 @@ object TextAnalysis {
     * (en, de, es, fr, zh). Adds `lang_pred` and per-language hit counts.
     */
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val ws = words(col(textCol))
-    val withScores = stopwords.foldLeft(docs) { case (df, (lang, list)) =>
-      df.withColumn(s"hits_$lang", countIn(ws, list))
-    }
+    // `_ws` staged once (then dropped below): inlining `words` into each
+    // per-language hit column re-ran the interpreted split once per
+    // language per row (HOFs get no codegen subexpression elimination)
+    val withScores = stopwords.foldLeft(
+        docs.withColumn("_ws", words(col(textCol)))) { case (df, (lang, list)) =>
+      df.withColumn(s"hits_$lang", countIn(col("_ws"), list))
+    }.drop("_ws")
     // argmax with declaration-order tie-break, expressed as nested CASE
     val maxHits = stopwords.map(t => col(s"hits_${t._1}")).reduce((a, b) => greatest(a, b))
     val pred = stopwords.map(_._1).reverse.foldLeft(lit("und")) { (acc, lang) =>
@@ -70,20 +73,21 @@ object TextAnalysis {
     * stopword hits, and a bucketed quality class.
     */
   def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val ws = words(col(textCol))
-    val nTokens = size(ws)
-    val nChars = length(col(textCol))
-    val longTokens = size(filter(ws, w => length(w) >= 15))
-    val stopHits = countIn(ws, stopwords.head._2)
+    // `_ws` staged once, and the bucket CASE reads the already-computed
+    // feature COLUMNS: the previous form re-embedded the full `words`
+    // split in every feature and twice more in the bucket (~6 interpreted
+    // splits per row)
     docs
-      .withColumn("n_tokens", nTokens)
-      .withColumn("n_chars_obs", nChars)
-      .withColumn("long_tokens", longTokens)
-      .withColumn("stop_hits", stopHits)
+      .withColumn("_ws", words(col(textCol)))
+      .withColumn("n_tokens", size(col("_ws")))
+      .withColumn("n_chars_obs", length(col(textCol)))
+      .withColumn("long_tokens", size(filter(col("_ws"), w => length(w) >= 15)))
+      .withColumn("stop_hits", countIn(col("_ws"), stopwords.head._2))
       .withColumn("quality_bucket",
-        when(nTokens < 16, "short")
-          .when(stopHits * 10 >= nTokens, "fluent")
+        when(col("n_tokens") < 16, "short")
+          .when(col("stop_hits") * 10 >= col("n_tokens"), "fluent")
           .otherwise("list-like"))
+      .drop("_ws")
   }
 
   /** Whitespace tokens + a BPE-ish regex token count (letters / digits /
@@ -227,12 +231,19 @@ object TextAnalysis {
     * sections); md5(text) when the doc has < 5 words.
     */
   def fingerprint(docs: DataFrame, textCol: String = "text", n: Int = 5): DataFrame = {
-    val ws = words(col(textCol))
-    val shingles = transform(sequence(lit(0), greatest(size(ws) - n, lit(-1))),
-      i => concat_ws(" ", (0 until n).map(j => ws(i + j)): _*))
-    docs.withColumn("fingerprint",
-      when(size(ws) >= n, array_min(transform(shingles, s => md5(s))))
-        .otherwise(md5(col(textCol))))
+    // one-pass kernel shingling ([[graft.spark.TextFunctions.wordShingles]])
+    // staged as a real column: the previous transform-over-sequence form
+    // re-ran the interpreted `words` split at every lambda reference
+    // (~250 regex splits per row; 54 s noop-sink for a 500k-doc corpus vs
+    // ~2 s now). min(md5) is invariant under the kernel's distinctness —
+    // duplicate shingles cannot change a minimum — and `size > 0` is
+    // exactly the old `size(words) >= n` (shingles exist iff n words do).
+    val sh = graft.spark.TextFunctions.wordShingles(col(textCol), n)
+    docs.withColumn("_sh", sh)
+      .withColumn("fingerprint",
+        when(size(col("_sh")) > 0, array_min(transform(col("_sh"), s => md5(s))))
+          .otherwise(md5(col(textCol))))
+      .drop("_sh")
   }
 
   /** PII patterns kept to constructs whose match semantics agree between
@@ -330,20 +341,24 @@ object TextAnalysis {
     */
   def qualityFilters(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val ws = words(t)
-    val nWords = size(ws)
-    // full-match alphabetic test: anchored char-class regex agrees between
-    // Java regex and RE2 (no lookaround, no backtracking sensitivity)
-    val nAlpha = size(filter(ws, w => w.rlike("^[A-Za-z]+$")))
-    val alphaFrac = when(nWords > 0, floor(nAlpha * lit(100) / nWords)).otherwise(lit(0L))
+    // `_ws` staged once and the derived fraction reading the feature
+    // COLUMNS (interpreted HOFs get no codegen subexpression elimination;
+    // the single-projection form re-split the text ~4x per row)
+    val alphaFrac = when(col("n_words") > 0,
+      floor(col("n_alpha_words") * lit(100) / col("n_words"))).otherwise(lit(0L))
     // counted by length difference after replace — exact in both engines
     val nBraces = length(t) - length(regexp_replace(t, "\\{", ""))
     val nEllipsis = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
     val hasLorem = when(t.contains("lorem ipsum"), 1).otherwise(0)
     docs
-      .withColumn("n_words", nWords)
-      .withColumn("n_alpha_words", nAlpha)
+      .withColumn("_ws", words(t))
+      .withColumn("n_words", size(col("_ws")))
+      // full-match alphabetic test: anchored char-class regex agrees between
+      // Java regex and RE2 (no lookaround, no backtracking sensitivity)
+      .withColumn("n_alpha_words",
+        size(filter(col("_ws"), w => w.rlike("^[A-Za-z]+$"))))
       .withColumn("alpha_frac_x100", alphaFrac.cast("long"))
+      .drop("_ws")
       .withColumn("n_braces", nBraces)
       .withColumn("n_ellipsis", nEllipsis.cast("int"))
       .withColumn("has_lorem", hasLorem)
@@ -380,20 +395,27 @@ object TextAnalysis {
     */
   def repetitionStats(docs: DataFrame, textCol: String = "text",
       lineWords: Int = 4): DataFrame = {
-    val ws = words(col(textCol))
-    val nw = size(ws)
+    // `_ws`/`_lines` staged as REAL columns (then dropped): interpreted
+    // higher-order functions get no codegen subexpression elimination, so
+    // the previous single-projection form re-evaluated the whole
+    // lines-transform — with the `words` split inlined — at every one of
+    // its five references (23 s noop-sink for a 500k-doc corpus vs ~2 s
+    // now). CollapseProject keeps multi-referenced non-trivial aliases
+    // materialized, so each array is built once per row.
+    val nw = size(col("_ws"))
     val nLines = floor((nw + lit(lineWords - 1)) / lit(lineWords)).cast("int")
-    val lines = when(nw > 0,
-      transform(sequence(lit(1), nLines),
-        i => concat_ws(" ", slice(ws, (i - 1) * lineWords + 1, lit(lineWords)))))
-      .otherwise(array().cast("array<string>"))
-    val nDup = size(lines) - size(array_distinct(lines))
-    val nShort = size(filter(lines, l => length(l) < 18))
+    val nDup = size(col("_lines")) - size(array_distinct(col("_lines")))
+    val nShort = size(filter(col("_lines"), l => length(l) < 18))
     val meanLenX100 = when(nw > 0,
-      floor(aggregate(ws, lit(0L), (acc, w) => acc + length(w)) * lit(100) / nw))
+      floor(aggregate(col("_ws"), lit(0L), (acc, w) => acc + length(w)) * lit(100) / nw))
       .otherwise(lit(0L)).cast("long")
     docs
-      .withColumn("n_lines", size(lines))
+      .withColumn("_ws", words(col(textCol)))
+      .withColumn("_lines", when(nw > 0,
+        transform(sequence(lit(1), nLines),
+          i => concat_ws(" ", slice(col("_ws"), (i - 1) * lineWords + 1, lit(lineWords)))))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("n_lines", size(col("_lines")))
       .withColumn("n_dup_lines", nDup)
       .withColumn("n_short_lines", nShort)
       .withColumn("mean_word_len_x100", meanLenX100)
@@ -401,6 +423,7 @@ object TextAnalysis {
         when(col("n_lines") > 0 && nDup * 20 >= col("n_lines"), "dup-heavy")
           .when(col("n_lines") > 0 && nShort * 2 >= col("n_lines"), "short-line")
           .otherwise("ok"))
+      .drop("_ws", "_lines")
   }
 
   /** Word n-gram repetition statistics — the n-gram half of the Gopher
