@@ -31,43 +31,38 @@ object Similarity {
   /** Exact brute-force top-k cosine neighbors for the given query ids.
     * Output: (vec_id, rank, neighbor_id) — rank 1..k by (sim desc,
     * neighbor_id asc) for determinism.
+    *
+    * Plan shape: the id-pruned query scan (predicate pushed to parquet)
+    * broadcasts against ONE corpus scan; scoring runs through the
+    * codegen'd `cosine_sim` expression (bit-identical to [[cosine]]), so
+    * the corpus vectors are read straight from Tungsten ArrayData and
+    * never deserialize to `Seq[Float]`; the final per-query top-k is the
+    * bounded [[TopKAgg]] (map-side partial aggregation, k-entry buffers —
+    * never a corpus-sized window partition).
     */
   def bruteKnn(emb: DataFrame, queryIds: Seq[Long], k: Int = 3): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val typed = emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Seq[Float])]
-    // column-expression predicate -> pushed to the parquet scan
-    val queries = typed.where(col("vec_id").isin(queryIds: _*)).collect()
-    val qB = spark.sparkContext.broadcast(queries)
+    val queries = emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").as("_qv"))
+      .where(col("vec_id").isin(queryIds: _*))
+    val corpus = emb.select(col("vec_id").cast("long").as("neighbor_id"),
+      col("embedding").as("_nv"))
+    val scored = corpus.join(broadcast(queries),
+        col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"),
+        graft.spark.VectorFunctions.cosineSim(col("_qv"), col("_nv")).as("sim"),
+        col("neighbor_id"))
+      .as[(Long, Double, Long)]
 
-    // per-partition bounded top-k per query
-    val partial = typed.mapPartitions { it =>
-      val qs = qB.value
-      val heaps = qs.map(q => (q._1, scala.collection.mutable.PriorityQueue
-        .empty[(Double, Long)](Ordering.by(t => (-t._1, t._2)))))
-      it.foreach { case (id, v) =>
-        var qi = 0
-        while (qi < qs.length) {
-          val (qid, qv) = qs(qi)
-          if (qid != id) {
-            val s = cosine(qv, v)
-            val heap = heaps(qi)._2
-            heap.enqueue((s, id))
-            if (heap.size > k) heap.dequeue() // drops the current worst
-            ()
-          }
-          qi += 1
-        }
-      }
-      heaps.iterator.flatMap { case (qid, h) => h.iterator.map(t => (qid, t._1, t._2)) }
-    }.toDF("vec_id", "sim", "neighbor_id")
-
-    // final exact top-k per query (tiny: parts * queries * k rows)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    partial.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("rank"), col("neighbor_id"))
+    implicit val ord: Ordering[(Double, Long)] =
+      Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    scored.groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(new TopKAgg[(Double, Long)](k).toColumn.name("nn"))
+      .flatMap { case (qid, nn) =>
+        nn.iterator.zipWithIndex.map { case ((_, nid), i) => (qid, i + 1, nid) }
+      }.toDF("vec_id", "rank", "neighbor_id")
   }
 
   /** md5-derived Rademacher hyperplane component for [[lshAnn]]: ±1 from
@@ -199,50 +194,47 @@ object Similarity {
         else sums(c).map(_ / counts(c))
       }.toArray
     }
-    val cB = spark.sparkContext.broadcast(centroids)
-
-    // --- cell assignment: one narrow pass, no shuffle
-    val assigned = typed.map { case (id, v) =>
-      (id, nearest(v.map(_.toDouble).toArray, cB.value), v)
-    }.toDF("vec_id", "cell", "embedding")
-
-    // --- queries with their nProbe nearest cells
-    val queries = assigned.where(col("vec_id").isin(queryIds: _*))
-      .as[(Long, Int, Seq[Float])].collect()
-      .map { case (qid, _, qv) =>
+    // --- queries with their nProbe nearest cells: collected straight off
+    // the id-pruned parquet scan (pushed filter — never a corpus-wide
+    // assignment pass just to find 20 rows), cells probed driver-side from
+    // the same centroids. sortBy is stable, so equal distances tie to the
+    // lowest cell index, exactly like `nearest`.
+    val queries = typed.where(col("vec_id").isin(queryIds: _*)).collect()
+      .map { case (qid, qv) =>
         val qd = qv.map(_.toDouble).toArray
-        val probes = cB.value.indices
-          .sortBy(c => dist2(qd, cB.value(c))).take(nProbe).toSet
+        val probes: Seq[Int] = centroids.indices
+          .sortBy(c => dist2(qd, centroids(c))).take(nProbe).toList
         (qid, probes, qv)
-      }
-    val qB = spark.sparkContext.broadcast(queries)
+      }.toSeq
 
-    // --- probe scan with per-partition bounded heaps (cf. bruteKnn)
-    val partial = assigned.as[(Long, Int, Seq[Float])].mapPartitions { it =>
-      val qs = qB.value
-      val heaps = qs.map(q => (q._1, scala.collection.mutable.PriorityQueue
-        .empty[(Double, Long)](Ordering.by(t => (-t._1, t._2)))))
-      it.foreach { case (id, cell, v) =>
-        var qi = 0
-        while (qi < qs.length) {
-          val (qid, probes, qv) = qs(qi)
-          if (qid != id && probes.contains(cell)) {
-            val heap = heaps(qi)._2
-            heap.enqueue((cosine(qv, v), id))
-            if (heap.size > k) heap.dequeue()
-            ()
-          }
-          qi += 1
-        }
-      }
-      heaps.iterator.flatMap { case (qid, h) => h.iterator.map(t => (qid, t._1, t._2)) }
-    }.toDF("vec_id", "sim", "neighbor_id")
+    // --- ONE corpus pass, fully codegen'd: cell assignment through the
+    // native `nearest_cell` expression (bit-identical to `nearest`),
+    // probe-set membership + scoring against the broadcast query table via
+    // the codegen'd `cosine_sim` (bit-identical to [[cosine]]) — the
+    // vectors never deserialize to `Seq[Float]`; per-query top-k through
+    // the bounded [[TopKAgg]] (map-side k-entry buffers, never a
+    // corpus-sized window partition).
+    val qDf = broadcast(queries.toDF("vec_id", "_probes", "_qv"))
+    val scored = emb
+      .select(col("vec_id").cast("long").as("neighbor_id"),
+        col("embedding").as("_nv"))
+      .withColumn("_cell",
+        graft.spark.VectorFunctions.nearestCellCol(col("_nv"), centroids))
+      .join(qDf, array_contains(col("_probes"), col("_cell")) &&
+        col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"),
+        graft.spark.VectorFunctions.cosineSim(col("_qv"), col("_nv")).as("sim"),
+        col("neighbor_id"))
+      .as[(Long, Double, Long)]
 
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    partial.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("rank"), col("neighbor_id"))
+    implicit val ord: Ordering[(Double, Long)] =
+      Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    scored.groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(new TopKAgg[(Double, Long)](k).toColumn.name("nn"))
+      .flatMap { case (qid, nn) =>
+        nn.iterator.zipWithIndex.map { case ((_, nid), i) => (qid, i + 1, nid) }
+      }.toDF("vec_id", "rank", "neighbor_id")
   }
 
   /** Symmetric per-vector int8 quantization — the standard 4x storage /

@@ -20,6 +20,12 @@ trait GraftFloatArrayBinaryInput extends ExpectsInputTypes {
     Seq(ArrayType(FloatType), ArrayType(FloatType))
 }
 
+/** And for the single-vector kernels (cell assignment): one array<float>. */
+trait GraftFloatArrayUnaryInput extends ExpectsInputTypes {
+  import org.apache.spark.sql.types.{ArrayType, FloatType}
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+}
+
 /** And for the char-run splice kernel: (text, sorted positions). */
 trait GraftStringLongArrayBinaryInput extends ExpectsInputTypes {
   import org.apache.spark.sql.types.{ArrayType, LongType}

@@ -141,6 +141,53 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall=$recall")
   }
 
+  test("nearest_cell expression matches driver-side nearest-centroid assignment") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cs = Array.fill(5)(Array.fill(8)(rnd.nextGaussian()))
+    val rows = (0L until 100L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    // reference spelling: strict-improvement min over squared distance,
+    // ties to the LOWEST index, summed over the row vector's length
+    def nearest(v: Seq[Float]): Int = {
+      var best = 0; var bd = Double.MaxValue
+      for (c <- cs.indices) {
+        var s = 0.0
+        for (i <- v.indices) { val d = v(i).toDouble - cs(c)(i); s += d * d }
+        if (s < bd) { bd = s; best = c }
+      }
+      best
+    }
+    val got = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.spark.VectorFunctions.nearestCellCol(col("embedding"), cs).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    rows.foreach { case (id, v) => assert(got(id) == nearest(v), s"id=$id") }
+  }
+
+  test("bruteKnn/ivfAnn plan shape: codegen kernels + bounded agg, no window") {
+    import spark.implicits._
+    val emb = (0L until 50L).map(i =>
+      (i, (0 until 8).map(d => math.cos(i * 3.0 + d).toFloat))).toDF("vec_id", "embedding")
+    val bPlan = Similarity.bruteKnn(emb, 0L until 5L, 3)
+      .queryExecution.executedPlan.toString
+    assert(!bPlan.contains("Window"), s"window in bruteKnn plan:\n$bPlan")
+    assert(bPlan.contains("cosinesimexpr"),
+      s"expected codegen cosine kernel in bruteKnn plan:\n$bPlan")
+    assert("ObjectHashAggregate".r.findAllIn(bPlan).size >= 2,
+      s"expected partial+final bounded agg in bruteKnn plan:\n$bPlan")
+    val ivf = Similarity.ivfAnn(emb, 0L until 5L, 3, nCentroids = 4, nProbe = 2)
+    val iPlan = ivf.queryExecution.executedPlan.toString
+    assert(!iPlan.contains("Window"), s"window in ivfAnn plan:\n$iPlan")
+    // the cell kernel is asserted on the ANALYZED plan: over this local
+    // test relation ConvertToLocalRelation folds the projection away (a
+    // parquet corpus keeps it physical — see plans/r06/q34_ivf_ann_after.txt)
+    val iAnalyzed = ivf.queryExecution.analyzed.toString
+    assert(iAnalyzed.contains("nearestcellexpr") && iAnalyzed.contains("cosinesimexpr"),
+      s"expected codegen cell+cosine kernels in ivfAnn plan:\n$iAnalyzed")
+    assert("ObjectHashAggregate".r.findAllIn(iPlan).size >= 2,
+      s"expected partial+final bounded agg in ivfAnn plan:\n$iPlan")
+  }
+
   test("embeddingNearDup: recall == exact pairwise cosine on planted universe") {
     import spark.implicits._
     val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
