@@ -22,15 +22,20 @@ object TextAnalysis {
   /** THE corpus tokenizer — the single whitespace-split contract shared by
     * every token-level operator in `graft.ops` (token counts, packing,
     * block materialization, n-gram dedup) AND mirrored by the DuckDB
-    * oracle. The whitespace class is spelled explicitly (` \t\n\x0B\f\r`,
-    * exactly Java's ASCII `\s`) instead of `\s` because Java and RE2
-    * disagree on `\s` (RE2 omits U+000B) — with the explicit class both
-    * engines split identically on every input, not just inputs that avoid
-    * vertical tabs. Change this in lockstep with `SparkEntry.WORDS` or
-    * Spark-vs-oracle tokenization silently skews.
+    * oracle. The whitespace class is explicit (` \t\n\x0B\f\r`, exactly
+    * Java's ASCII `\s`) rather than `\s` because Java and RE2 disagree on
+    * `\s` (RE2 omits U+000B) — with the explicit class both engines split
+    * identically on every input, not just inputs that avoid vertical tabs.
+    * Evaluated by the native one-pass byte-scan kernel
+    * ([[graft.spark.TextFunctions.wordsArray]] — byte-identical to the
+    * interpreted `filter(split(text, WhitespaceRe), len > 0)` it replaced,
+    * but codegen'd and immune to the inferred-Generate-filter cloning that
+    * re-ran the regex per consumer). Change the class in lockstep with
+    * `SparkEntry.WORDS` (and the kernel) or Spark-vs-oracle tokenization
+    * silently skews.
     */
   def words(textCol: Column): Column =
-    filter(split(textCol, WhitespaceRe), w => length(w) > 0)
+    graft.spark.TextFunctions.wordsOf(textCol)
 
   /** The [[words]] whitespace class as a Java regex pattern — the ONE
     * spelling shared by the Column splitter above and the typed kernels

@@ -182,6 +182,39 @@ object TextFunctions {
       seen.toArray().asInstanceOf[Array[Any]])
   }
 
+  /** Whitespace word split as ONE byte-level scan — the codegen kernel
+    * behind [[graft.ops.TextAnalysis.words]]. Byte-identical to
+    * `filter(split(text, "[ \t\n\x0B\f\r]+"), w -> length(w) > 0)`: the
+    * delimiter class is pure ASCII, so scanning raw UTF-8 bytes (multibyte
+    * sequences all have the high bit set and can never match) and slicing
+    * words as byte ranges reproduces the regex split exactly — including
+    * on malformed UTF-8, which a String round-trip would rewrite. The
+    * interpreted higher-order original costs a regex pass plus a lambda
+    * filter per evaluation, interpreted, and is cloned wholesale into
+    * inferred pre-Generate filters (same pathology as [[wordShingles]]).
+    */
+  def wordsArray(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[Object]()
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if (b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r') {
+        i += 1
+      } else {
+        val start = i
+        while (i < n && {
+          val c = bytes(i)
+          !(c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r')
+        }) i += 1
+        out.add(UTF8String.fromBytes(bytes, start, i - start)): Unit
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray().asInstanceOf[Array[Any]])
+  }
+
   /** Remove every length-`l` window starting at the given 1-based
     * positions from the text — the action half of char-granularity
     * exact-substring dedup ([[graft.ops.Dedup.removeDuplicatedCharRuns]]).
@@ -251,6 +284,7 @@ object TextFunctions {
     column(CharGramHashesExpr(expression(c), l))
   def wordShingles(c: Column, n: Int): Column =
     column(WordShinglesExpr(expression(c), n))
+  def wordsOf(c: Column): Column = column(WordsExpr(expression(c)))
   def spliceCovered(text: Column, starts: Column, l: Int): Column =
     column(SpliceCoveredExpr(expression(text), expression(starts), l))
 }
@@ -325,6 +359,21 @@ case class WordShinglesExpr(child: Expression, n: Int)
     TextFunctions.wordShingles(input.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.spark.TextFunctions.wordShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_words(s): array<string> of whitespace-delimited words
+  * ([[TextFunctions.wordsArray]] — the one-pass byte-level split kernel).
+  */
+case class WordsExpr(child: Expression)
+    extends UnaryExpression with GraftStringUnaryInput {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextFunctions.wordsArray(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextFunctions.wordsArray($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -98,6 +98,31 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("wordsOf: byte-identical to the interpreted filter(split) HOF it replaced") {
+    import spark.implicits._
+    val cases = Seq(
+      "plain ascii text",
+      "  leading and trailing  ",
+      "\t\n\f\r all five delimiters\tmixed\n in  one \f row \r",
+      "",                   // empty -> empty array (split gives [""], filtered)
+      " \t\r\n ",           // whitespace-only -> empty array
+      "single",
+      "unicode wörter café 中文 ok",
+      "a  b   c",           // delimiter runs collapse like the + regex
+      "nbsp is not whitespace here" // U+00A0 must NOT split
+    )
+    val df = cases.toDF("t")
+    val viaKernel = df.select(TextFunctions.wordsOf(col("t"))).as[Seq[String]].collect()
+    val viaHof = df.select(
+      filter(split(col("t"), graft.ops.TextAnalysis.WhitespaceRe),
+        w => length(w) > 0)).as[Seq[String]].collect()
+    assert(viaKernel.toSeq == viaHof.toSeq)
+    // null-safe: null text -> null array, exactly like split(null)
+    val nulls = Seq[Option[String]](None, Some("x y")).toDF("t")
+    assert(nulls.select(TextFunctions.wordsOf(col("t")).isNull).as[Boolean].collect().toSeq ==
+      Seq(true, false))
+  }
+
   test("charGramHashes: rolling hashes equal direct polynomial recompute; edge lengths") {
     import org.apache.spark.unsafe.types.UTF8String
     val B = 0x100000001b3L
