@@ -54,6 +54,16 @@ private[graft] object BenchCore {
       // either environment
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "1") == "1")
+      // let AQE apply the same size-adaptive coalescing UNDER a persisted
+      // subtree (bm25TopK's postings cache, unigramSurprisal's token
+      // counts): by default InMemoryRelation pins its plan's partitioning,
+      // so a cached aggregate holds the pre-AQE 4-x-cores shuffle width
+      // forever and every consumer pays those scheduled tasks. Same
+      // scale-adaptive rationale (and the same opt-out) as coalescing
+      // itself; the headline pipeline persists nothing, so the scaling
+      // measurement is untouched
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "1") == "1")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // local-bench input is ~a GB: size splits so read parallelism >= cores
